@@ -1,0 +1,18 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Must run before the JAX backend initializes, hence the env mutation at
+import time.  Multi-device sharding tests (dp x tp meshes) run on these
+virtual devices exactly as they would on a v5e-8 slice.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)
