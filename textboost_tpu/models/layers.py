@@ -1,0 +1,212 @@
+"""Shared building blocks for the UNet and VAE (NHWC, TPU-native layouts).
+
+Functional counterparts of the diffusers blocks the reference inherits
+(ResnetBlock2D, Transformer2DModel, Attention, Up/Downsample2D) — written
+fresh for XLA: NHWC convolutions, attention through the shared dispatch in
+ops/attention.py, bf16-friendly GroupNorm in fp32 for stability.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import merge_heads, multi_head_attention, split_heads
+
+
+def group_norm(x: jnp.ndarray, num_groups: int, name: str, eps: float = 1e-5):
+    """GroupNorm over the channel (last) axis, computed in fp32."""
+    return nn.GroupNorm(
+        num_groups=num_groups, epsilon=eps, dtype=jnp.float32, name=name
+    )(x).astype(x.dtype)
+
+
+class ResnetBlock(nn.Module):
+    """GN -> SiLU -> conv3x3 -> (+time) -> GN -> SiLU -> conv3x3 -> +skip."""
+
+    out_channels: int
+    use_time_emb: bool = True
+    num_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None):
+        in_channels = x.shape[-1]
+        h = group_norm(x, self.num_groups, "norm1")
+        h = jax.nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        if self.use_time_emb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                jax.nn.silu(temb)
+            )
+            h = h + t[:, None, None, :]
+        h = group_norm(h, self.num_groups, "norm2")
+        h = jax.nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(x)
+        return x + h
+
+
+class Downsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # SD uses asymmetric (0,1) padding on stride-2 downsampling convs.
+        return nn.Conv(
+            self.out_channels,
+            (3, 3),
+            strides=(2, 2),
+            padding=((0, 1), (0, 1)),
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class GEGLU(nn.Module):
+    out_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.out_features * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * jax.nn.gelu(gate, approximate=False)
+
+
+class FeedForward(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        h = GEGLU(dim * 4, dtype=self.dtype, name="net_0")(x)
+        return nn.Dense(dim, dtype=self.dtype, name="net_2")(h)
+
+
+class CrossAttention(nn.Module):
+    """Attention with optional encoder context (self-attn when context=None)."""
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None):
+        dim = x.shape[-1]
+        ctx = x if context is None else context
+        q = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        out = multi_head_attention(
+            split_heads(q, self.num_heads),
+            split_heads(k, self.num_heads),
+            split_heads(v, self.num_heads),
+        )
+        return nn.Dense(dim, dtype=self.dtype, name="to_out")(merge_heads(out))
+
+
+class BasicTransformerBlock(nn.Module):
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray):
+        ln = lambda name: nn.LayerNorm(dtype=self.dtype, name=name)
+        x = x + CrossAttention(self.num_heads, self.dtype, name="attn1")(ln("norm1")(x))
+        x = x + CrossAttention(self.num_heads, self.dtype, name="attn2")(
+            ln("norm2")(x), context
+        )
+        x = x + FeedForward(self.dtype, name="ff")(ln("norm3")(x))
+        return x
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer: GN -> proj_in -> N blocks -> proj_out -> +residual."""
+
+    num_heads: int
+    depth: int = 1
+    use_linear_projection: bool = False
+    num_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray):
+        b, h, w, c = x.shape
+        residual = x
+        x = group_norm(x, self.num_groups, "norm", eps=1e-6)
+        if self.use_linear_projection:
+            x = x.reshape(b, h * w, c)
+            x = nn.Dense(c, dtype=self.dtype, name="proj_in")(x)
+        else:
+            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
+            x = x.reshape(b, h * w, c)
+        for i in range(self.depth):
+            x = BasicTransformerBlock(
+                self.num_heads, self.dtype, name=f"transformer_blocks_{i}"
+            )(x, context)
+        if self.use_linear_projection:
+            x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+            x = x.reshape(b, h, w, c)
+        else:
+            x = x.reshape(b, h, w, c)
+            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        return x + residual
+
+
+class VAEAttention(nn.Module):
+    """Single-head self-attention over spatial positions (VAE mid block)."""
+
+    num_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        b, h, w, c = x.shape
+        residual = x
+        x = group_norm(x, self.num_groups, "group_norm", eps=1e-6)
+        x = x.reshape(b, h * w, c)
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(c, dtype=self.dtype, name="to_v")(x)
+        out = multi_head_attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+        )[:, :, 0, :]
+        out = nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+        return residual + out.reshape(b, h, w, c)
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (diffusers get_timestep_embedding parity)."""
+    half = dim // 2
+    exponent = -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb

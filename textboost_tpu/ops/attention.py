@@ -1,0 +1,99 @@
+"""Multi-head attention dispatch: XLA einsum path + Pallas flash-attention.
+
+All attention in the framework (UNet self/cross attention, CLIP text
+encoder) funnels through `multi_head_attention` so the implementation can
+be switched globally: "xla" lets the compiler fuse the softmax chain;
+"flash" uses the Pallas TPU kernel (ops/flash_attention.py) for long
+spatial sequences where materializing the [B,H,N,M] score matrix is
+HBM-bandwidth-bound.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_DEFAULT_IMPL = "auto"
+
+
+def set_default_attention_impl(impl: str) -> None:
+    global _DEFAULT_IMPL
+    assert impl in ("auto", "xla", "flash")
+    _DEFAULT_IMPL = impl
+
+
+def _xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    scale: float,
+) -> jnp.ndarray:
+    # q: [B, N, H, D], k/v: [B, M, H, D]
+    logits = jnp.einsum(
+        "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    mask: Optional[jnp.ndarray] = None,
+    impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention over [batch, seq, heads, head_dim].
+
+    Args:
+      q: [B, N, H, D]; k, v: [B, M, H, D].
+      causal: apply a lower-triangular mask (requires N == M).
+      mask: optional boolean mask broadcastable to [B, H, N, M]; True keeps.
+      impl: "xla" | "flash" | "auto" (None uses the global default).
+    Returns [B, N, H, D] in q's dtype.
+    """
+    impl = impl or _DEFAULT_IMPL
+    n, m = q.shape[1], k.shape[1]
+    scale = q.shape[-1] ** -0.5
+
+    if causal:
+        assert n == m, "causal attention requires equal query/key lengths"
+        tri = jnp.tril(jnp.ones((n, m), dtype=bool))[None, None]
+        mask = tri if mask is None else jnp.logical_and(mask, tri)
+
+    if impl == "auto":
+        # Flash pays off when the score matrix is large; tiny sequences
+        # (CLIP's 77 tokens) are faster through plain XLA fusion.
+        use_flash = (
+            jax.default_backend() == "tpu"
+            and mask is None
+            and not causal
+            and n >= 1024
+            and q.shape[-1] <= 128
+        )
+        impl = "flash" if use_flash else "xla"
+
+    if impl == "flash":
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale).astype(q.dtype)
+    return _xla_attention(q, k, v, mask, scale).astype(q.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads",))
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, n, d = x.shape
+    return x.reshape(b, n, num_heads, d // num_heads)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, n, h, d = x.shape
+    return x.reshape(b, n, h * d)
