@@ -1,0 +1,241 @@
+import numpy as np
+import pytest
+from PIL import Image
+
+from textboost_tpu.data import (
+    EOS_ID,
+    HashTokenizer,
+    InstructPix2PixDataset,
+    PairedAugmentation,
+    PrefetchLoader,
+    PriorDataset,
+    ShardedIndexIterator,
+    TextBoostDataset,
+    imagenet_templates_small,
+    imagenet_style_templates_small,
+    resolve_template,
+    textboost_templates,
+)
+from textboost_tpu.data.augment import (
+    adjust_scale,
+    grayscale,
+    horizontal_translate,
+    square_photo_collage,
+    REFERENCE_CAPTION_MAP,
+)
+
+
+def _img(w=96, h=96, seed=0):
+    rng = np.random.RandomState(seed)
+    return Image.fromarray(rng.randint(0, 255, (h, w, 3), dtype=np.uint8))
+
+
+def test_template_banks():
+    assert len(imagenet_templates_small) == 27
+    assert len(imagenet_style_templates_small) == 19
+    assert len(textboost_templates) == 5
+    assert resolve_template("textboost") == textboost_templates
+    assert resolve_template("a photo of {}") == ["a photo of {}"]
+    assert all("{}" in t for t in textboost_templates)
+
+
+def test_adjust_scale_preserves_size_and_captions():
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        img, prompt = adjust_scale(_img(), "a dog", False, rng, REFERENCE_CAPTION_MAP)
+        assert img.size == (96, 96)
+        assert prompt.endswith("a dog")
+    # Inversion captions use the pseudo-tokens.
+    found_tok = False
+    for i in range(30):
+        rng_i = np.random.default_rng(i)
+        _, prompt = adjust_scale(_img(), "a dog", True, rng_i, REFERENCE_CAPTION_MAP)
+        if "<zoom-" in prompt:
+            found_tok = True
+    assert found_tok
+
+
+def test_horizontal_translate_edges():
+    rng = np.random.default_rng(1)
+    img, prompt = horizontal_translate(_img(), "a dog", False, rng, REFERENCE_CAPTION_MAP)
+    assert img.size == (96, 96)
+    assert prompt.endswith(("on the left", "on the right"))
+
+
+def test_grayscale():
+    img, prompt = grayscale(_img(), "a dog", False, np.random.default_rng(0), REFERENCE_CAPTION_MAP)
+    arr = np.asarray(img)
+    np.testing.assert_array_equal(arr[..., 0], arr[..., 1])
+    assert prompt == "a dog, grayscale"
+    _, p2 = grayscale(_img(), "a dog", True, np.random.default_rng(0), REFERENCE_CAPTION_MAP)
+    assert p2 == "a dog, <grayscale_0> <grayscale_1>"
+
+
+def test_collage_grid():
+    img, prompt = square_photo_collage(
+        _img(), "a dog", False, np.random.default_rng(3), REFERENCE_CAPTION_MAP
+    )
+    assert prompt == "photo collage of a dog"
+    arr = np.asarray(img)
+    # Tiled: the first tile equals the second tile.
+    n = arr.shape[0]
+    for axis in (2, 3):
+        if n % axis == 0 and np.array_equal(arr[: n // axis], arr[n // axis : 2 * (n // axis)]):
+            return
+    pytest.fail("collage is not a tiled grid")
+
+
+def test_paired_augmentation_pipeline():
+    aug = PairedAugmentation(inversion=True, p=1.0, color_prob=1.0, seed=0)
+    img, prompt, mask = aug(_img(), "a <dog>")
+    assert mask is None
+    assert img.size == (96, 96)
+    assert "a <dog>" in prompt or prompt.endswith("<grayscale_0> <grayscale_1>")
+    # p=0 means no augmentation ever.
+    aug0 = PairedAugmentation(inversion=True, p=0.0, color_prob=0.0, seed=0)
+    img0, prompt0, _ = aug0(_img(), "a <dog>")
+    assert prompt0 == "a <dog>"
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(_img()))
+    # Style bank has only color ops.
+    aug_s = PairedAugmentation(ops="style", p=1.0, color_prob=0.0, seed=0)
+    assert aug_s.geometric_ops == [] and aug_s.other_ops == []
+    with pytest.raises(ValueError):
+        PairedAugmentation(hflip="maybe")
+
+
+def test_paired_augmentation_deterministic():
+    a1 = PairedAugmentation(inversion=True, p=0.8, seed=7)
+    a2 = PairedAugmentation(inversion=True, p=0.8, seed=7)
+    for i in range(5):
+        i1, p1, _ = a1(_img(seed=i), "a <dog>")
+        i2, p2, _ = a2(_img(seed=i), "a <dog>")
+        assert p1 == p2
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_sharded_index_iterator():
+    # 10 examples over 3 shards: pad-to-equal-length per epoch.
+    shards = [
+        list(
+            ShardedIndexIterator(
+                10, shard_id=s, num_shards=3, shuffle=True, repeat=False, seed=1
+            )
+        )
+        for s in range(3)
+    ]
+    lens = {len(s) for s in shards}
+    assert lens == {4}
+    # Union covers all examples.
+    assert set().union(*[set(s) for s in shards]) == set(range(10))
+    # Same seed -> same order; different epoch -> different order.
+    it = ShardedIndexIterator(10, shuffle=True, repeat=False, seed=1)
+    assert list(it) == list(it)
+    e0 = it._epoch_keys(0).tolist()
+    e1 = it._epoch_keys(1).tolist()
+    assert e0 != e1 and sorted(e0) == sorted(e1)
+    # drop_remainder drops.
+    dropped = list(
+        ShardedIndexIterator(
+            10, shard_id=0, num_shards=3, repeat=False, drop_remainder=True, seed=1
+        )
+    )
+    assert len(dropped) == 3
+
+
+def _make_instance_dir(tmp_path, n=2):
+    d = tmp_path / "inst"
+    d.mkdir(exist_ok=True)
+    for i in range(n):
+        _img(seed=i).save(d / f"img{i}.jpg")
+    return str(d)
+
+
+def test_textboost_dataset(tmp_path):
+    tok = HashTokenizer()
+    tok.add_tokens("<dog>")
+    ds = TextBoostDataset(
+        [{"instance_data_dir": _make_instance_dir(tmp_path), "instance_token": "<dog>"}],
+        tok,
+        template="textboost",
+        size=64,
+        augment_pipe=PairedAugmentation(inversion=True, p=0.5, seed=0),
+        seed=0,
+    )
+    assert len(ds) == 2
+    s = ds.__getitem__(0, rng=np.random.default_rng(0))
+    assert s["image"].shape == (64, 64, 3)
+    assert s["image"].min() >= -1.0 and s["image"].max() <= 1.0
+    assert s["input_ids"].shape == (77,)
+    assert "<dog>" in s["prompt"]
+
+    batch = TextBoostDataset.collate([s, ds.__getitem__(1, rng=np.random.default_rng(1))])
+    assert batch["pixel_values"].shape == (2, 64, 64, 3)
+    assert batch["input_ids"].shape == (2, 77)
+    assert batch["input_ids"].dtype == np.int32
+
+
+def test_prior_dataset_probabilities():
+    tok = HashTokenizer()
+    src = InstructPix2PixDataset(None)  # fallback bank
+    assert len(src) >= 50
+    ds = PriorDataset(
+        src, tok, additional_template="textboost", additional_category="dog",
+        template_prob=0.3, null_prob=0.3, seed=0,
+    )
+    kinds = {"null": 0, "template": 0, "human": 0}
+    for i in range(200):
+        s = ds.__getitem__(i % len(ds), rng=np.random.default_rng(i))
+        if s["prompt"] == "":
+            kinds["null"] += 1
+        elif s["prompt"] in ds.template_data:
+            kinds["template"] += 1
+        else:
+            kinds["human"] += 1
+        if s["prompt"] == "":
+            assert s["input_ids"][1] == EOS_ID
+    assert 30 <= kinds["null"] <= 90
+    assert 30 <= kinds["template"] <= 90
+    assert kinds["human"] >= 60
+    batch = PriorDataset.collate([ds.__getitem__(0, rng=np.random.default_rng(0))])
+    assert batch["input_ids"].shape == (1, 77)
+
+
+def test_ip2p_jsonl_parsing(tmp_path):
+    p = tmp_path / "prompts.jsonl"
+    import json
+
+    rows = [
+        {"input": "a cat", "output": "a dog"},
+        {"input": "a house", "output": "NONE"},
+        {"input": "a tree", "output": None},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    ds = InstructPix2PixDataset(str(p))
+    assert ds.data == ["a cat", "a dog", "a house", "a tree"]
+
+
+def test_prefetch_loader(tmp_path):
+    tok = HashTokenizer()
+    ds = TextBoostDataset(
+        [{"instance_data_dir": _make_instance_dir(tmp_path), "instance_token": "<dog>"}],
+        tok,
+        template="a {}",
+        size=32,
+        seed=0,
+    )
+    loader = PrefetchLoader(
+        ds, batch_size=4, collate=TextBoostDataset.collate, num_workers=2, seed=0
+    )
+    it = iter(loader)
+    b1 = next(it)
+    b2 = next(it)
+    assert b1["pixel_values"].shape == (4, 32, 32, 3)
+    assert b2["input_ids"].shape == (4, 77)
+    loader.stop()
+    # Determinism: same seed -> same first batch.
+    loader2 = PrefetchLoader(
+        ds, batch_size=4, collate=TextBoostDataset.collate, num_workers=2, seed=0
+    )
+    b1b = next(iter(loader2))
+    np.testing.assert_allclose(b1["pixel_values"], b1b["pixel_values"])
+    loader2.stop()

@@ -1,0 +1,271 @@
+"""Paired image/caption augmentation ("paug").
+
+Counterpart of textboost/augment/paired_augmentation.py: each augmentation
+transforms the image AND injects a matching caption fragment — natural
+language normally, learnable pseudo-tokens when `inversion` is on.
+Implemented in pure PIL + numpy (no torchvision): edge padding via
+np.pad(mode="edge"), center-scaling via resize + center crop/pad.
+
+Caption fragments for inversion mode come from a `caption_map`
+(base placeholder -> actual sub-token string, e.g. "<zoom-in>" ->
+"<zoom-in_0> <zoom-in_1>") produced by tokens.add_augmentation_tokens, so
+pairing stays correct for any tokenizer's sub-token split.  Defaults match
+the reference's hardcoded CLIP-BPE splits (paired_augmentation.py:35-37,
+104-107,155-160,263).
+
+All randomness flows through an explicit numpy Generator, making every
+sample reproducible from (seed, step, index) — unlike the reference's
+global-RNG usage, which is reproducible only per-worker.
+"""
+from __future__ import annotations
+
+import io
+import math
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+import PIL.Image
+import PIL.ImageEnhance
+import PIL.ImageOps
+from PIL import Image
+
+REFERENCE_CAPTION_MAP = {
+    "<grayscale>": "<grayscale_0> <grayscale_1>",
+    "<zoom-in>": "<zoom-in_0> <zoom-in_1>",
+    "<zoom-out>": "<zoom-out_0> <zoom-out_1>",
+    "<collage>": "<collage_0> <collage_1>",
+    "<crop>": "<crop>",
+    "<hflip>": "<hflip>",
+    "<left>": "<left_0> <left_1> <left_2>",
+    "<right>": "<right_0> <right_0> <right_0>",  # sic: reference repeats _0
+    "<rot90>": "<rot90_0> <rot90_1>",
+    "<rot270>": "<rot270_0> <rot270_1>",
+    "<dimmed>": "<dimmed>",
+    "<bright>": "<bright>",
+    "<jpeg>": "<jpeg_0> <jpeg_1>",
+}
+
+AugOut = Tuple[Image.Image, str]
+
+
+def _center_crop_or_pad(image: Image.Image, tw: int, th: int) -> Image.Image:
+    """Center crop to (tw, th), zero-padding if the image is smaller
+    (torchvision center_crop semantics)."""
+    w, h = image.size
+    if w < tw or h < th:
+        canvas = Image.new("RGB", (max(w, tw), max(h, th)), (0, 0, 0))
+        canvas.paste(image, ((canvas.width - w) // 2, (canvas.height - h) // 2))
+        image, (w, h) = canvas, canvas.size
+    left, top = (w - tw) // 2, (h - th) // 2
+    return image.crop((left, top, left + tw, top + th))
+
+
+def _edge_pad(image: Image.Image, pad_w: int, pad_h: int) -> Image.Image:
+    arr = np.asarray(image)
+    arr = np.pad(arr, ((pad_h, pad_h), (pad_w, pad_w), (0, 0)), mode="edge")
+    return Image.fromarray(arr)
+
+
+def adjust_scale(image, prompt, inversion, rng, captions) -> AugOut:
+    """Zoom in/out about center, edge-filled (paired_augmentation.py:20-49)."""
+    scale = rng.uniform(0.34, 1.4)
+    w0, h0 = image.size
+    if scale < 1.0:
+        pad_h = round((h0 / scale - h0) / 2)
+        pad_w = round((w0 / scale - w0) / 2)
+        if pad_h > 0 and pad_w > 0:
+            image = _edge_pad(image, pad_w, pad_h)
+    nw, nh = max(round(image.width * scale), 1), max(round(image.height * scale), 1)
+    image = image.resize((nw, nh), Image.BICUBIC)
+    image = _center_crop_or_pad(image, w0, h0)
+    if inversion:
+        if scale < 0.6:
+            add = captions["<zoom-out>"] + " "
+        elif scale > 1.2:
+            add = captions["<zoom-in>"] + " "
+        else:
+            add = ""
+    else:
+        if scale <= 0.6:
+            add = rng.choice(["a far away ", "very small "])
+        elif scale >= 1.2:
+            add = rng.choice(["zoomed in ", "close up "])
+        else:
+            add = ""
+    return image, add + prompt
+
+
+def rotate(image, prompt, inversion, rng, captions) -> AugOut:
+    direction = rng.integers(0, 2)
+    if direction == 0:
+        image = image.transpose(Image.ROTATE_90)
+        tok, nat = captions["<rot90>"], "90 degrees counter clockwise rotated "
+    else:
+        image = image.transpose(Image.ROTATE_270)
+        tok, nat = captions["<rot270>"], "90 degrees clockwise rotated "
+    if inversion:
+        prompt = tok + " " + prompt if rng.random() < 0.5 else prompt + ", " + tok
+    else:
+        prompt = nat + prompt
+    return image, prompt
+
+
+def horizontal_flip(image, prompt, inversion, rng, captions) -> AugOut:
+    image = image.transpose(Image.FLIP_LEFT_RIGHT)
+    if inversion:
+        tok = captions["<hflip>"]
+        prompt = tok + " " + prompt if rng.random() < 0.5 else prompt + ", " + tok
+    else:
+        prompt = (
+            "horizontally flipped " + prompt
+            if rng.random() < 0.5
+            else prompt + ", horizontally flipped"
+        )
+    return image, prompt
+
+
+def horizontal_translate(image, prompt, inversion, rng, captions) -> AugOut:
+    """Shift left/right by 15-30% width, edge-filled
+    (paired_augmentation.py:91-126)."""
+    direction = rng.integers(0, 2)
+    w, h = image.size
+    shift = int(rng.uniform(0.15, 0.3) * w)
+    arr = np.asarray(image)
+    arr = np.pad(arr, ((0, 0), (shift, shift), (0, 0)), mode="edge")
+    if direction == 0:  # content moves left
+        window = arr[:, 2 * shift : 2 * shift + w]
+        add = captions["<left>"] if inversion else "on the left"
+    else:
+        window = arr[:, 0:w]
+        add = captions["<right>"] if inversion else "on the right"
+    return Image.fromarray(window), prompt + " " + add
+
+
+def adjust_brightness(image, prompt, inversion, rng, captions) -> AugOut:
+    if rng.random() < 0.5:
+        factor = rng.uniform(0.4, 0.6)
+        add = captions["<dimmed>"] if inversion else "dimmed"
+    else:
+        factor = rng.uniform(1.3, 1.5)
+        add = captions["<bright>"] if inversion else "bright"
+    image = PIL.ImageEnhance.Brightness(image).enhance(factor)
+    prompt = add + " " + prompt if rng.random() < 0.5 else prompt + f", {add}"
+    return image, prompt
+
+
+def grayscale(image, prompt, inversion, rng, captions) -> AugOut:
+    image = PIL.ImageOps.grayscale(image).convert("RGB")
+    add = captions["<grayscale>"] if inversion else "grayscale"
+    return image, f"{prompt}, {add}"
+
+
+def random_resized_crop(image, target_size, rng, scale=(0.08, 1.0), ratio=(0.75, 4.0 / 3.0)):
+    width, height = image.size
+    area = width * height * rng.uniform(*scale)
+    aspect = rng.uniform(*ratio)
+    nw = min(int(round(math.sqrt(area * aspect))), width)
+    nh = min(int(round(math.sqrt(area / aspect))), height)
+    x = rng.integers(0, width - nw + 1)
+    y = rng.integers(0, height - nh + 1)
+    return image.crop((x, y, x + nw, y + nh)).resize(target_size, Image.BICUBIC)
+
+
+def crop(image, prompt, inversion, rng, captions) -> AugOut:
+    image = random_resized_crop(image, image.size, rng, ratio=(1.0, 1.0))
+    add = captions["<crop>"] if inversion else "cropped"
+    prompt = f"{add} {prompt}" if rng.random() < 0.5 else f"{prompt}, {add}"
+    return image, prompt
+
+
+def jpeg_compression(image, prompt, inversion, rng, captions) -> AugOut:
+    quality = int(rng.integers(25, 75))
+    buf = io.BytesIO()
+    image.save(buf, format="JPEG", quality=quality)
+    buf.seek(0)
+    image = Image.open(buf).convert("RGB")
+    add = captions["<jpeg>"] if inversion else "JPEG"
+    prompt = f"{add} {prompt}" if rng.random() < 0.5 else f"{prompt}, {add}"
+    return image, prompt
+
+
+def square_photo_collage(image, prompt, inversion, rng, captions) -> AugOut:
+    """2x2 or 3x3 tiled grid with black borders
+    (paired_augmentation.py:240-264)."""
+    axis = int(rng.integers(2, 4))
+    w, h = image.size
+    gw, gh = w // axis, h // axis
+    small = np.asarray(image.resize((gw, gh), Image.BICUBIC)).copy()
+    small[0, :] = 0
+    small[-1, :] = 0
+    small[:, 0] = 0
+    small[:, -1] = 0
+    grid = np.tile(small, (axis, axis, 1))
+    image = Image.fromarray(grid)
+    add = captions["<collage>"] + " " if inversion else "photo collage of "
+    return image, add + prompt
+
+
+class PairedAugmentation:
+    """<=1 op per group (geometric / other / color) with the reference's
+    probabilities (paired_augmentation.py:269-351)."""
+
+    def __init__(
+        self,
+        hflip: str = "false",
+        inversion: bool = False,
+        p: float = 0.5,
+        color_prob: float = 0.2,
+        augment_prompt: bool = True,
+        ops: str = "object",
+        caption_map: Optional[Dict[str, str]] = None,
+        seed: Optional[int] = None,
+    ):
+        if hflip.lower() not in ("true", "false", "inversion"):
+            raise ValueError(f"Invalid hflip value: {hflip}")
+        self.hflip = hflip.lower() == "true"
+        self.inversion = inversion
+        self.p = p
+        self.color_prob = color_prob
+        self.augment_prompt = augment_prompt
+        self.captions = dict(REFERENCE_CAPTION_MAP)
+        if caption_map:
+            self.captions.update(caption_map)
+        self._rng = np.random.default_rng(seed)
+
+        if ops == "object":
+            self.geometric_ops = [adjust_scale, crop, horizontal_translate]
+            self.color_ops = [grayscale]
+            self.other_ops = [square_photo_collage]
+        elif ops == "style":
+            self.geometric_ops = []
+            self.color_ops = [grayscale]
+            self.other_ops = []
+        else:
+            raise ValueError(f"Unknown augment ops bank: {ops}")
+        if hflip.lower() == "inversion":
+            self.geometric_ops.append(horizontal_flip)
+
+    def __call__(
+        self,
+        image: Image.Image,
+        prompt: str,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        if not isinstance(image, PIL.Image.Image):
+            raise TypeError(f"Invalid image type ({type(image)}). Must be PIL Image.")
+        rng = rng if rng is not None else self._rng
+
+        if self.hflip and rng.random() < 0.5:
+            image = image.transpose(Image.FLIP_LEFT_RIGHT)
+
+        for group, prob in (
+            (self.geometric_ops, self.p),
+            (self.other_ops, self.p),
+            (self.color_ops, self.color_prob),
+        ):
+            if group and rng.random() < prob:
+                op = group[int(rng.integers(0, len(group)))]
+                image, new_prompt = op(image, prompt, self.inversion, rng, self.captions)
+                if self.augment_prompt:
+                    prompt = new_prompt
+        return image, prompt, None

@@ -1,0 +1,309 @@
+"""Datasets: instance images, KPL prompt streams, prior images.
+
+Counterpart of textboost/dataset.py (TextBoostDataset :272-457,
+InstructPix2PixDataset :161-193, PriorDataset :196-269, PromptDataset
+:694-726, FolderDataset :610-691).  Host-side numpy/PIL; outputs NHWC
+float32 arrays in [-1, 1] ready for `jax.device_put`.
+"""
+from __future__ import annotations
+
+import json
+import os
+import random
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+from PIL.ImageOps import exif_transpose
+
+from .human_prompts import FALLBACK_HUMAN_PROMPTS
+from .templates import resolve_template
+from .tokenizer import tokenize_prompt
+
+
+def get_images_path(data_root, max_samples=None) -> List[Path]:
+    data_root = Path(data_root)
+    if not data_root.exists():
+        raise ValueError("Data root doesn't exists.")
+    paths = sorted(p for p in data_root.iterdir() if p.is_file())
+    return paths[:max_samples] if max_samples is not None else paths
+
+
+def load_rgb(path) -> Image.Image:
+    image = Image.open(path)
+    image = exif_transpose(image)
+    if image.mode != "RGB":
+        image = image.convert("RGB")
+    return image
+
+
+def resize_shorter_side(image: Image.Image, size: int) -> Image.Image:
+    """torchvision v2.Resize(size, LANCZOS) semantics: shorter side -> size."""
+    w, h = image.size
+    if w <= h:
+        nw, nh = size, max(round(h * size / w), size)
+    else:
+        nw, nh = max(round(w * size / h), size), size
+    return image.resize((nw, nh), Image.LANCZOS)
+
+
+def crop_with_offsets(
+    image: Image.Image, size: int, center: bool, rng: np.random.Generator
+) -> Tuple[Image.Image, int, int]:
+    """Center or random crop, returning (image, top, left) like the
+    reference records crop offsets (dataset.py:342-351)."""
+    w, h = image.size
+    if center:
+        top = max(0, int(round((h - size) / 2.0)))
+        left = max(0, int(round((w - size) / 2.0)))
+    else:
+        top = int(rng.integers(0, max(h - size, 0) + 1))
+        left = int(rng.integers(0, max(w - size, 0) + 1))
+    return image.crop((left, top, left + size, top + size)), top, left
+
+
+def to_model_array(image: Image.Image) -> np.ndarray:
+    """uint8 PIL -> float32 NHWC in [-1, 1] (Normalize(0.5, 0.5))."""
+    arr = np.asarray(image, dtype=np.float32) / 255.0
+    return (arr - 0.5) / 0.5
+
+
+class TextBoostDataset:
+    """Instance (+ optional prior) images with templated, augmented captions.
+
+    Returns per-sample dicts with numpy arrays; batching via `collate`.
+    """
+
+    def __init__(
+        self,
+        concepts_list: Sequence[Dict],
+        tokenizer,
+        num_instance: Optional[int] = None,
+        template="a {}",
+        prior_data_root: Optional[str] = None,
+        class_token: Optional[str] = None,
+        num_prior: Optional[int] = None,
+        size: int = 512,
+        center_crop: bool = False,
+        augment_pipe=None,
+        augment_prior: bool = False,
+        seed: int = 0,
+    ):
+        self.size = size
+        self.center_crop = center_crop
+        self.tokenizer = tokenizer
+        self.template = resolve_template(template)
+        self.augment_pipe = augment_pipe
+        self.augment_prior = augment_prior
+        self.seed = seed
+
+        self.instance_images_path: List[Tuple[Path, str]] = []
+        for concept in concepts_list:
+            for p in get_images_path(concept["instance_data_dir"], num_instance):
+                self.instance_images_path.append((p, concept["instance_token"]))
+        self.num_instance_images = len(self.instance_images_path)
+        self._length = self.num_instance_images
+
+        self.class_token = class_token
+        self.prior_data_root = None
+        if prior_data_root is not None:
+            self.prior_data_root = Path(prior_data_root)
+            self.prior_data_root.mkdir(parents=True, exist_ok=True)
+            self.class_images_path = sorted(self.prior_data_root.iterdir())
+            self.num_prior_images = (
+                min(len(self.class_images_path), num_prior)
+                if num_prior is not None
+                else len(self.class_images_path)
+            )
+            self._length = max(self.num_prior_images, self.num_instance_images)
+
+    def __len__(self):
+        return self._length
+
+    def _prep_image(self, image: Image.Image, rng) -> Tuple[np.ndarray, int, int]:
+        image = resize_shorter_side(image, self.size)
+        image, top, left = crop_with_offsets(image, self.size, self.center_crop, rng)
+        return to_model_array(image), top, left
+
+    def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng((self.seed, index, random.randrange(1 << 30)))
+        sample: Dict = {}
+
+        path, instance_token = self.instance_images_path[index % self.num_instance_images]
+        image = load_rgb(path)
+        prompt_idx = int(rng.integers(0, len(self.template)))
+        prompt = self.template[prompt_idx].format(instance_token)
+
+        if self.augment_pipe is not None:
+            image, prompt, mask = self.augment_pipe(image, prompt, rng)
+            if mask is not None:
+                sample["mask"] = np.asarray(mask, dtype=np.float32)[..., None]
+
+        sample["original_size"] = (image.width, image.height)
+        sample["image"], top, left = self._prep_image(image, rng)
+        sample["crop_top_left"] = (top, left)
+        sample["input_ids"] = tokenize_prompt(self.tokenizer, prompt)[0]
+        sample["prompt"] = prompt
+
+        if self.prior_data_root:
+            prior_path = self.class_images_path[index % self.num_prior_images]
+            prior_image = load_rgb(prior_path)
+            if self.class_token is not None:
+                prior_prompt = self.template[prompt_idx].format(self.class_token)
+            else:
+                # Caption from the generated filename: idx-hash-caption.jpg
+                prior_prompt = (
+                    os.path.basename(prior_path).split("-")[1].split(".")[0].replace("_", " ")
+                )
+            if self.augment_prior and self.augment_pipe is not None:
+                prior_image, prior_prompt, pmask = self.augment_pipe(
+                    prior_image, prior_prompt, rng
+                )
+                if pmask is not None:
+                    sample["prior_mask"] = np.asarray(pmask, np.float32)[..., None]
+            if "mask" in sample and "prior_mask" not in sample:
+                sample["prior_mask"] = np.ones_like(sample["mask"])
+            sample["class_image"], ptop, pleft = self._prep_image(prior_image, rng)
+            sample["class_crop_top_left"] = (ptop, pleft)
+            sample["class_input_ids"] = tokenize_prompt(self.tokenizer, prior_prompt)[0]
+        return sample
+
+    @staticmethod
+    def collate(samples: Sequence[Dict], with_prior_preservation: bool = False) -> Dict:
+        """Class examples are concatenated AFTER instance examples so prior
+        preservation runs in one forward pass (dataset.py:430-436)."""
+        input_ids = [s["input_ids"] for s in samples]
+        pixel_values = [s["image"] for s in samples]
+        if with_prior_preservation:
+            input_ids += [s["class_input_ids"] for s in samples]
+            pixel_values += [s["class_image"] for s in samples]
+        batch = {
+            "input_ids": np.stack(input_ids).astype(np.int32),
+            "pixel_values": np.stack(pixel_values).astype(np.float32),
+        }
+        if "mask" in samples[0]:
+            masks = [s["mask"] for s in samples]
+            if "prior_mask" in samples[0]:
+                masks += [s["prior_mask"] for s in samples]
+            batch["mask"] = np.stack(masks).astype(np.float32)
+        return batch
+
+
+class InstructPix2PixDataset:
+    """Human-written prompt bank from a jsonl of {input, output} rows
+    (dataset.py:161-193); falls back to the built-in bank when the file is
+    missing (offline parity aid, not in the reference)."""
+
+    def __init__(self, json_file: Optional[str], num_samples: Optional[int] = None):
+        self.data: List[str] = []
+        if json_file and os.path.isfile(json_file):
+            with open(json_file) as f:
+                rows = [json.loads(line) for line in f if line.strip()]
+            for row in rows:
+                self.data.append(row["input"])
+                out = row.get("output")
+                if out is not None and out != "NONE":
+                    self.data.append(out)
+        else:
+            self.data = list(FALLBACK_HUMAN_PROMPTS)
+        if num_samples is not None:
+            self.data = self.data[:num_samples]
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, index: int) -> str:
+        return self.data[index]
+
+
+class PriorDataset:
+    """KPL prompt stream: null with p=null_prob, class-template with
+    p=template_prob, else the human-written prompt (dataset.py:196-269)."""
+
+    def __init__(
+        self,
+        source: InstructPix2PixDataset,
+        tokenizer,
+        additional_template=None,
+        additional_category=None,
+        template_prob: float = 0.1,
+        null_prob: float = 0.1,
+        seed: int = 0,
+    ):
+        self.data = list(source.data)
+        self.tokenizer = tokenizer
+        self.template_prob = template_prob
+        self.null_prob = null_prob
+        self.seed = seed
+
+        template = resolve_template(additional_template) if additional_template else [""]
+        categories = (
+            additional_category
+            if isinstance(additional_category, list)
+            else [additional_category]
+        )
+        self.template_data = [
+            t.format(c) for t in template for c in categories if c is not None
+        ] or [""]
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng((self.seed, index, random.randrange(1 << 30)))
+        r = rng.random()
+        if r < self.null_prob:
+            prompt = ""
+        elif r < self.null_prob + self.template_prob:
+            prompt = self.template_data[int(rng.integers(0, len(self.template_data)))]
+        else:
+            prompt = self.data[index]
+        return {
+            "prompt": prompt,
+            "input_ids": tokenize_prompt(self.tokenizer, prompt)[0],
+        }
+
+    @staticmethod
+    def collate(samples: Sequence[Dict]) -> Dict:
+        return {
+            "prompt": [s["prompt"] for s in samples],
+            "input_ids": np.stack([s["input_ids"] for s in samples]).astype(np.int32),
+        }
+
+
+class PromptDataset:
+    """Index-stamped prompts for prior image generation (dataset.py:694-726)."""
+
+    def __init__(self, prompt: str, num_samples: int):
+        self.prompt = prompt
+        self.num_samples = num_samples
+
+    def __len__(self):
+        return self.num_samples
+
+    def __getitem__(self, index: int):
+        return {"prompt": self.prompt, "index": index}
+
+
+class FolderDataset:
+    """Images with prompt-from-filename (dataset.py:610-691): 'a_photo_of_x.png'
+    -> 'a photo of x'."""
+
+    def __init__(self, root: str, size: int = 512, center_crop: bool = True):
+        self.paths = get_images_path(root)
+        self.size = size
+        self.center_crop = center_crop
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, index: int):
+        path = self.paths[index]
+        image = load_rgb(path)
+        image = resize_shorter_side(image, self.size)
+        image, _, _ = crop_with_offsets(
+            image, self.size, self.center_crop, np.random.default_rng(0)
+        )
+        prompt = Path(path).stem.replace("_", " ")
+        return {"image": to_model_array(image), "prompt": prompt}
