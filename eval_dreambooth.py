@@ -1,0 +1,225 @@
+#!/usr/bin/env python3
+"""DreamBooth 30-instance benchmark: generation + metrics.
+
+Parity counterpart of /root/reference/eval_dreambooth.py: for each trained
+instance model, sample 25 prompts x N seeds (25 DPM-Solver++ steps,
+CFG 7.5, one shared initial latent per seed reused across prompts), then
+score CLIP-T / CLIP-I / DINO (seen/unseen splits) into metric_{ckpt}.csv.
+
+TPU-native differences: the whole 25-step trajectory is one jitted XLA
+program; metrics run through the native Flax CLIP/DINO scorers (converted
+local weights required for paper-comparable numbers; VQAScore's
+clip-flant5-xxl is gated off in offline environments).
+"""
+import argparse
+import csv
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
+import numpy as np
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("path", type=str, help="path to model sweep dir")
+    parser.add_argument("--token-format", type=str, default="<INSTANCE> SUBJECT")
+    parser.add_argument("--outdir", type=str, default="./benchmarks")
+    parser.add_argument("--checkpoint", type=int, default=None)
+    parser.add_argument("--instances", type=str, nargs="+", default=None)
+    parser.add_argument("--skip-gen", action="store_true")
+    parser.add_argument(
+        "--metric", type=str, nargs="+", default=["clip-t", "clip-i", "vqa"]
+    )
+    parser.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2, 3])
+    parser.add_argument("--dreambooth-path", type=str, default="./data/dreambooth")
+    parser.add_argument("--train-dir", type=str, default="./data/dreambooth_n1_train")
+    parser.add_argument("--val-dir", type=str, default="./data/dreambooth_n1_val")
+    parser.add_argument("--model", type=str, default=None)
+    parser.add_argument("--output-desc", type=str, default=None)
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--steps", type=int, default=25)
+    parser.add_argument("--lora-rank", type=int, default=4)
+    parser.add_argument("--scorer-weights", type=str, default=None,
+                        help="dir with converted CLIP/DINO scorer weights")
+    return parser.parse_args()
+
+
+def detect_model(args):
+    if args.model is not None:
+        model = args.model
+    else:
+        model = "sd21base"
+        for name in ("sd21base", "sd21", "sd15", "sd14", "tiny"):
+            if name in args.path:
+                model = name
+                break
+    size = 96 if model == "sd21" else (16 if model == "tiny" else 64)
+    return model, size
+
+
+def generate(args):
+    import jax
+    from textboost_tpu.eval.dreambooth_bench import INSTANCES, prompts_for
+    from textboost_tpu.pipelines.loading import load_textboost_pipeline
+    from PIL import Image
+
+    instances = (
+        {k: v for k, v in INSTANCES.items() if k in args.instances}
+        if args.instances
+        else INSTANCES
+    )
+    args.outdir = args.outdir.rstrip("/")
+    args.path = args.path.rstrip("/")
+    basename = os.path.basename(args.path)
+    if args.checkpoint is not None:
+        basename = f"{basename}-{args.checkpoint}"
+    outdir = os.path.join(args.outdir, basename)
+    if args.output_desc:
+        outdir += f"_{args.output_desc}"
+    if args.skip_gen:
+        return outdir
+
+    model, size = detect_model(args)
+    for instance in instances:
+        model_path = os.path.join(args.path, instance)
+        if not os.path.isdir(model_path):
+            print(f"[skip] missing instance dir: {model_path}")
+            continue
+        pipeline = load_textboost_pipeline(
+            model_path, model, checkpoint=args.checkpoint, lora_rank=args.lora_rank
+        )
+        # Multi-vector identifier expansion (eval_dreambooth.py:329-337).
+        files = os.listdir(
+            model_path
+            if args.checkpoint is None
+            else os.path.join(model_path, f"checkpoint-{args.checkpoint}")
+        )
+        num_vectors = len([f for f in files if f.startswith(f"<{instance}") and f.endswith(".bin")])
+        identifier = args.token_format.replace("INSTANCE", instance)
+        if num_vectors > 1:
+            identifier = " ".join(
+                identifier.replace(">", f"_{i}>") for i in range(num_vectors)
+            )
+        identifier = identifier.replace("SUBJECT", INSTANCES[instance])
+
+        cls = INSTANCES[instance]
+        prompt_list = prompts_for(instance)
+        for seed in args.seeds:
+            # One shared latent per seed, reused for every prompt (:240).
+            latent = jax.random.normal(
+                jax.random.PRNGKey(seed), (size, size, 4), dtype=np.float32
+            )
+            dst = os.path.join(outdir, f"seed{seed}", instance)
+            os.makedirs(dst, exist_ok=True)
+            for i in range(0, len(prompt_list), args.batch_size):
+                prompts = [
+                    p.format(identifier)
+                    for p in prompt_list[i : i + args.batch_size]
+                ]
+                images = pipeline(
+                    prompts,
+                    num_inference_steps=args.steps,
+                    guidance_scale=7.5,
+                    latents=latent,
+                    height=size * 8,
+                    width=size * 8,
+                )
+                for prompt, image in zip(prompts, images):
+                    fname = f"{prompt.replace(identifier, cls).replace(' ', '_')}.png"
+                    Image.fromarray(image).save(os.path.join(dst, fname))
+            print(f"[{instance}] seed {seed}: {len(prompt_list)} images")
+    return outdir
+
+
+def _load_dir_images(path):
+    from PIL import Image
+
+    images, prompts = [], []
+    for f in sorted(os.listdir(path)):
+        if f.endswith((".png", ".jpg")):
+            images.append(np.asarray(Image.open(os.path.join(path, f)).convert("RGB")))
+            prompts.append(os.path.splitext(f)[0].replace("_", " "))
+    return images, prompts
+
+
+def compute_metrics(args, outdir):
+    from textboost_tpu.data.tokenizer import load_tokenizer
+    from textboost_tpu.eval.dreambooth_bench import INSTANCES
+    from textboost_tpu.eval import CLIPScorer, DINOScorer, TINY_CLIP, TINY_VIT
+
+    offline = args.scorer_weights is None
+    if offline:
+        print(
+            "WARNING: no --scorer-weights; using random-init tiny scorers. "
+            "Scores are self-consistent only, NOT paper-comparable."
+        )
+        clip_scorer = CLIPScorer(TINY_CLIP)
+        dino_scorer = DINOScorer(TINY_VIT)
+    else:
+        from textboost_tpu.eval.scorer_weights import load_scorers
+
+        clip_scorer, dino_scorer = load_scorers(args.scorer_weights)
+    if "vqa" in args.metric:
+        print("WARNING: VQAScore (clip-flant5-xxl) unavailable offline; skipping.")
+    tokenizer = load_tokenizer(None)
+
+    model_name = os.path.basename(args.path.rstrip("/"))
+    ckpt = args.checkpoint if args.checkpoint is not None else "final"
+    csv_path = f"metric_{ckpt}.csv"
+    write_header = not os.path.isfile(csv_path)
+    with open(csv_path, "a", newline="") as f:
+        writer = csv.writer(f)
+        if write_header:
+            writer.writerow(
+                ["model", "seed", "clip-t", "clip-i", "clip-i-unseen", "dino", "dino-unseen"]
+            )
+        for seed in args.seeds:
+            seed_dir = os.path.join(outdir, f"seed{seed}")
+            if not os.path.isdir(seed_dir):
+                continue
+            clip_t_all, clip_i_all, clip_i_un, dino_all, dino_un = [], [], [], [], []
+            for instance in sorted(os.listdir(seed_dir)):
+                gen_dir = os.path.join(seed_dir, instance)
+                images, prompts = _load_dir_images(gen_dir)
+                if not images:
+                    continue
+                gen = np.stack(images)
+                if "clip-t" in args.metric:
+                    clip_t_all.append(clip_scorer.clip_t(tokenizer, gen, prompts))
+                train_dir = os.path.join(args.train_dir, instance)
+                val_dir = os.path.join(args.val_dir, instance)
+                if "clip-i" in args.metric and os.path.isdir(train_dir):
+                    seen, _ = _load_dir_images(train_dir)
+                    if seen:
+                        clip_i_all.append(clip_scorer.clip_i(gen, np.stack(seen)))
+                    if os.path.isdir(val_dir):
+                        unseen, _ = _load_dir_images(val_dir)
+                        if unseen:
+                            clip_i_un.append(clip_scorer.clip_i(gen, np.stack(unseen)))
+                if "dino" in args.metric and os.path.isdir(train_dir):
+                    seen, _ = _load_dir_images(train_dir)
+                    if seen:
+                        dino_all.append(dino_scorer.dino_score(gen, np.stack(seen)))
+                    if os.path.isdir(val_dir):
+                        unseen, _ = _load_dir_images(val_dir)
+                        if unseen:
+                            dino_un.append(dino_scorer.dino_score(gen, np.stack(unseen)))
+            mean = lambda xs: round(float(np.mean(xs)), 4) if xs else ""
+            writer.writerow(
+                [model_name, seed, mean(clip_t_all), mean(clip_i_all),
+                 mean(clip_i_un), mean(dino_all), mean(dino_un)]
+            )
+            print(f"seed {seed}: clip-t={mean(clip_t_all)} clip-i={mean(clip_i_all)} "
+                  f"dino={mean(dino_all)}")
+    print(f"Wrote {csv_path}")
+
+
+def main():
+    args = parse_args()
+    outdir = generate(args)
+    compute_metrics(args, outdir)
+
+
+if __name__ == "__main__":
+    main()

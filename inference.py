@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Single-prompt sampling CLI — parity with /root/reference/inference.py.
+
+Loads a trained TextBoost model dir (PEFT adapter + token bins) on top of a
+base model, samples one prompt across N seeds with DPM-Solver++ (25 steps),
+and writes per-seed images or a 1xN grid.
+"""
+import argparse
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
+STABLE_DIFFUSION = {
+    "sd14": "sd14",
+    "sd15": "sd15",
+    "sd21base": "sd21base",
+    "sd21": "sd21",
+    "tiny": "tiny",
+}
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("path", type=str, help="path to model")
+    parser.add_argument("--model", type=str, default="sd21base")
+    parser.add_argument(
+        "--prompt",
+        type=str,
+        default="photo of a <dog> dog",
+        help="[<INSTANCE> SUBJECT] for TextBoost models.",
+    )
+    parser.add_argument("--outdir", type=str, default="./benchmarks")
+    parser.add_argument("--checkpoint", type=int, default=None)
+    parser.add_argument("--skip-gen", action="store_true")
+    parser.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2, 3])
+    parser.add_argument("--output", type=str, default=None)
+    parser.add_argument("--steps", type=int, default=25)
+    parser.add_argument("--guidance-scale", type=float, default=7.5)
+    parser.add_argument("--lora-rank", type=int, default=4)
+    args = parser.parse_args()
+    if args.model in STABLE_DIFFUSION:
+        args.model = STABLE_DIFFUSION[args.model]
+    return args
+
+
+def main(args):
+    import numpy as np
+    from PIL import Image
+
+    from textboost_tpu.pipelines.loading import load_textboost_pipeline
+
+    args.path = args.path.rstrip("/")
+    pipeline = load_textboost_pipeline(
+        args.path, args.model, checkpoint=args.checkpoint, lora_rank=args.lora_rank
+    )
+
+    import jax
+
+    images = []
+    for seed in args.seeds:
+        out = pipeline(
+            args.prompt,
+            num_inference_steps=args.steps,
+            guidance_scale=args.guidance_scale,
+            rng=jax.random.PRNGKey(seed),
+            sampler="dpm++2m",
+        )
+        images.append(out[0])
+
+    if args.output is not None:
+        grid = np.concatenate(images, axis=1)
+        Image.fromarray(grid).save(args.output)
+        print(f"Saved grid to {args.output}")
+    else:
+        for seed, image in zip(args.seeds, images):
+            output = args.prompt.replace(" ", "_") + f"_{seed}.jpg"
+            Image.fromarray(image).save(output)
+            print(f"Saved {output}")
+
+
+if __name__ == "__main__":
+    main(parse_args())

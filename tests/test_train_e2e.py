@@ -1,0 +1,137 @@
+"""End-to-end training tests on the tiny preset over the virtual 8-CPU mesh."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def instance_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("instance")
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (160, 160, 3), dtype=np.uint8)).save(
+        d / "dog.jpg"
+    )
+    return str(d)
+
+
+def _config(instance_dir, out_dir, **overrides):
+    from textboost_tpu.train import TrainConfig
+
+    base = dict(
+        model_preset="tiny",
+        instance_data_dir=instance_dir,
+        placeholder_token="<dog>",
+        instance_token="<dog>",
+        initializer_token="dog",
+        output_dir=out_dir,
+        resolution=128,
+        train_batch_size=2,
+        max_train_steps=3,
+        checkpointing_steps=2,
+        validation_steps=0,
+        lora_rank=4,
+        augment="pda",
+        augment_inversion=True,
+        template="textboost",
+        seed=0,
+        dataloader_num_workers=1,
+        mixed_precision="no",
+        human_prompts_path=None,
+    )
+    base.update(overrides)
+    return TrainConfig(**base).validate()
+
+
+def test_train_loop_end_to_end(instance_dir, tmp_path):
+    from textboost_tpu.train import Trainer
+
+    out = str(tmp_path / "run")
+    trainer = Trainer(_config(instance_dir, out))
+    result = trainer.train()
+    assert result["steps"] == 3
+    assert np.isfinite(result["loss"])
+    assert result["kpl"] >= 0.0
+
+    # Checkpoint artifacts: native state + PEFT adapter + token bins.
+    ckpt = os.path.join(out, "checkpoint-2")
+    assert os.path.isdir(os.path.join(ckpt, "state"))
+    assert os.path.isfile(
+        os.path.join(ckpt, "text_encoder", "adapter_model.safetensors")
+    )
+    cfg = json.load(open(os.path.join(ckpt, "text_encoder", "adapter_config.json")))
+    assert cfg["r"] == 4
+    assert os.path.isfile(os.path.join(ckpt, "<dog>.bin"))
+    # Final layout at output root.
+    assert os.path.isfile(os.path.join(out, "<dog>.bin"))
+    assert os.path.isfile(
+        os.path.join(out, "text_encoder", "adapter_model.safetensors")
+    )
+    # Metrics log written.
+    lines = open(os.path.join(out, "metrics.jsonl")).read().strip().splitlines()
+    assert len(lines) >= 1
+
+    # Training actually moved the added-token embedding and LoRA params.
+    emb = np.asarray(trainer.state.te_params["params"]["token_embedding"])
+    added = emb[trainer.first_added_id :]
+    assert np.abs(added).sum() > 0
+    lora_b = np.asarray(
+        trainer.state.te_params["params"]["layers_0"]["self_attn"]["q_proj"]["lora_b"]
+    )
+    assert np.abs(lora_b).max() > 0  # moved off zero-init
+
+    # Frozen base weights untouched.
+    base_kernel = np.asarray(
+        trainer.state.te_params["params"]["layers_0"]["self_attn"]["q_proj"]["kernel"]
+    )
+    orig_kernel = np.asarray(
+        trainer.bundle.te_params["params"]["layers_0"]["self_attn"]["q_proj"]["kernel"]
+    )
+    np.testing.assert_allclose(base_kernel, orig_kernel)
+
+
+def test_resume_from_checkpoint(instance_dir, tmp_path):
+    from textboost_tpu.train import Trainer
+
+    out = str(tmp_path / "resume_run")
+    t1 = Trainer(_config(instance_dir, out, max_train_steps=2, checkpointing_steps=2))
+    t1.train()
+
+    t2 = Trainer(
+        _config(
+            instance_dir,
+            out,
+            max_train_steps=4,
+            checkpointing_steps=2,
+            resume_from_checkpoint="latest",
+        )
+    )
+    assert t2.start_step == 2
+    result = t2.train()
+    assert result["steps"] == 4
+    # Resumed params match what t1 ended with... then moved on.
+    emb1 = np.asarray(t1.state.te_params["params"]["token_embedding"])
+    emb2 = np.asarray(t2.state.te_params["params"]["token_embedding"])
+    assert emb1.shape == emb2.shape
+
+
+def test_validation_grid(instance_dir, tmp_path):
+    from textboost_tpu.train import Trainer
+
+    out = str(tmp_path / "val_run")
+    trainer = Trainer(
+        _config(
+            instance_dir,
+            out,
+            max_train_steps=1,
+            validation_steps=0,
+            validation_prompts=["a photo of <i>"],
+        )
+    )
+    trainer.train()
+    path = trainer.run_validation(1)
+    assert os.path.isfile(path)
+    img = Image.open(path)
+    assert img.size[0] >= img.size[1]  # horizontal grid

@@ -1,0 +1,2 @@
+from .clip_scorer import CLIPConfig, CLIPModel, CLIPScorer, TINY_CLIP  # noqa: F401
+from .dino import TINY_VIT, DINOScorer, ViTConfig, ViTFeatures  # noqa: F401

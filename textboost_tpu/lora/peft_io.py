@@ -127,7 +127,10 @@ def export_token_embeddings(
     paths = []
     for token, tid in token_to_id.items():
         path = os.path.join(out_dir, f"{token}.bin")
-        torch.save({token: torch.from_numpy(np.asarray(embedding[tid], np.float32))}, path)
+        torch.save(
+            {token: torch.from_numpy(np.array(embedding[tid], np.float32, copy=True))},
+            path,
+        )
         paths.append(path)
     return paths
 

@@ -1,0 +1,98 @@
+"""Load a trained TextBoost model directory into a sampling pipeline.
+
+Counterpart of `load_pipeline` in /root/reference/inference.py:47-77 and
+eval_dreambooth.py:175-215: base model + PEFT text-encoder adapter +
+textual-inversion token bins, with the TextBoost null-embedding patch
+active (eval variant semantics).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.tokenizer import load_tokenizer
+from ..lora.peft_io import import_lora_adapter, import_token_embeddings
+from ..models import CLIPTextModel
+from ..models.pretrained import load_models
+from ..train.checkpoint import latest_checkpoint
+from .text_to_image import TextToImagePipeline
+
+
+def load_textboost_pipeline(
+    model_path: str,
+    base_model: str = "sd21base",
+    *,
+    checkpoint: Optional[int] = None,
+    lora_rank: int = 4,
+    dtype=jnp.bfloat16,
+    use_null_embedding: bool = True,
+) -> TextToImagePipeline:
+    model_path = model_path.rstrip("/")
+    if checkpoint is not None:
+        model_path = os.path.join(model_path, f"checkpoint-{checkpoint}")
+
+    bundle = load_models(base_model, lora_rank=lora_rank, dtype=dtype)
+    spec = bundle.spec
+    tokenizer = load_tokenizer(base_model)
+
+    # Learned token embeddings ({token}.bin files; inference.py:61-68).
+    bins = sorted(
+        os.path.join(model_path, f)
+        for f in os.listdir(model_path)
+        if f.endswith(".bin")
+    )
+    learned = import_token_embeddings(bins)
+
+    emb = np.asarray(bundle.te_params["params"]["token_embedding"], np.float32)
+    token_rows = []
+    for token, vec in learned.items():
+        tokenizer.add_tokens(token)
+        token_rows.append((tokenizer.convert_tokens_to_ids(token), vec))
+    if token_rows:
+        new_vocab = len(tokenizer)
+        grown = np.zeros((new_vocab, emb.shape[1]), emb.dtype)
+        grown[: emb.shape[0]] = emb
+        for tid, vec in token_rows:
+            grown[tid] = vec
+        emb = grown
+
+    te_params = {"params": dict(bundle.te_params["params"])}
+    te_params["params"]["token_embedding"] = jnp.asarray(emb)
+
+    # PEFT LoRA adapter (inference.py:56-58).
+    adapter_dir = os.path.join(model_path, "text_encoder")
+    if os.path.isfile(os.path.join(adapter_dir, "adapter_model.safetensors")):
+        te_params = import_lora_adapter(te_params, adapter_dir)
+        print("Loaded text encoder LoRA weights")
+
+    # Null embedding: frozen-encoder output of the empty prompt — the
+    # native regeneration of assets/null_emb_*.pt (eval_dreambooth.py:176-183).
+    null_embedding = None
+    if use_null_embedding:
+        frozen = CLIPTextModel(spec.text_encoder, dtype=dtype)
+        ids = jnp.asarray(
+            np.asarray(
+                tokenizer("", padding="max_length", max_length=77,
+                          return_tensors="np")["input_ids"],
+                np.int32,
+            )
+        )
+        hidden, _ = jax.jit(frozen.apply)(bundle.te_params, ids)
+        null_embedding = np.asarray(hidden[0], np.float32)
+
+    return TextToImagePipeline(
+        spec,
+        tokenizer,
+        te_params,
+        bundle.unet_params,
+        bundle.vae_params,
+        null_embedding=null_embedding,
+        fixed_special=use_null_embedding,
+        lora_rank=lora_rank,
+        vocab_size=emb.shape[0],
+        dtype=dtype,
+    )

@@ -1,0 +1,200 @@
+"""Text-to-image sampling pipeline (the diffusers `DiffusionPipeline`
+counterpart used all over the reference: inference.py:47-112,
+eval_dreambooth.py:149-267, train validation :453-531).
+
+The whole trajectory — CLIP encode (with null-embedding patch), CFG-doubled
+UNet calls inside a lax.scan sampler, VAE decode — is ONE jitted XLA
+program, cached per (batch, steps, size, sampler, guidance) signature.
+Classifier-free guidance uses the empty prompt, which under the TextBoost
+null patch resolves to the cached frozen-encoder embedding
+(text_encoder.py:71-79 semantics).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.tokenizer import tokenize_prompt
+from ..models import (
+    AutoencoderKL,
+    CLIPTextModel,
+    UNet2DCondition,
+    apply_null_embedding_patch,
+    get_spec,
+)
+from ..ops.schedule import NoiseSchedule
+from ..samplers import get_sampler
+
+
+class TextToImagePipeline:
+    def __init__(
+        self,
+        spec,
+        tokenizer,
+        te_params,
+        unet_params,
+        vae_params,
+        *,
+        null_embedding: Optional[np.ndarray] = None,
+        fixed_special: bool = False,
+        lora_rank: int = 0,
+        vocab_size: Optional[int] = None,
+        dtype=jnp.bfloat16,
+    ):
+        if isinstance(spec, str):
+            spec = get_spec(spec)
+        self.spec = spec
+        self.tokenizer = tokenizer
+        self.dtype = dtype
+        self.text_encoder = CLIPTextModel(
+            spec.text_encoder,
+            lora_rank=lora_rank,
+            dtype=dtype,
+            vocab_size_override=vocab_size,
+        )
+        self.unet = UNet2DCondition(spec.unet, dtype=dtype)
+        self.vae = AutoencoderKL(spec.vae, dtype=dtype)
+        self.te_params = te_params
+        self.unet_params = unet_params
+        self.vae_params = vae_params
+        self.null_embedding = (
+            jnp.asarray(null_embedding) if null_embedding is not None else None
+        )
+        self.fixed_special = fixed_special
+        self.schedule = NoiseSchedule.create(
+            num_train_timesteps=spec.scheduler.num_train_timesteps,
+            beta_start=spec.scheduler.beta_start,
+            beta_end=spec.scheduler.beta_end,
+            beta_schedule=spec.scheduler.beta_schedule,
+            prediction_type=spec.scheduler.prediction_type,
+        )
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_random(cls, spec_name: str, seed: int = 0, dtype=jnp.bfloat16, **kw):
+        """Random-init pipeline for offline/bench use (no pretrained
+        weights exist in zero-egress environments)."""
+        from ..data.tokenizer import load_tokenizer
+
+        spec = get_spec(spec_name)
+        rng = jax.random.PRNGKey(seed)
+        tok = load_tokenizer(None)
+        te = CLIPTextModel(spec.text_encoder, dtype=dtype, lora_rank=kw.get("lora_rank", 0))
+        unet = UNet2DCondition(spec.unet, dtype=dtype)
+        vae = AutoencoderKL(spec.vae, dtype=dtype)
+        ids = jnp.zeros((1, 77), jnp.int32)
+        lat = jnp.zeros((1, spec.unet.sample_size, spec.unet.sample_size, 4))
+        t = jnp.zeros((1,), jnp.int32)
+        ctx = jnp.zeros((1, 77, spec.unet.cross_attention_dim))
+        px = jnp.zeros((1, spec.resolution, spec.resolution, 3))
+        r1, r2, r3 = jax.random.split(rng, 3)
+        return cls(
+            spec,
+            tok,
+            jax.jit(te.init)(r1, ids),
+            jax.jit(unet.init)(r2, lat, t, ctx),
+            jax.jit(vae.init)(r3, px, r3),
+            **kw,
+        )
+
+    # ------------------------------------------------------------------
+    def encode_prompts(self, prompts: Sequence[str]) -> np.ndarray:
+        return tokenize_prompt(self.tokenizer, list(prompts))
+
+    @functools.lru_cache(maxsize=32)
+    def _sample_fn(self, batch: int, height: int, width: int, steps: int,
+                   do_cfg: bool, sampler_name: str):
+        sampler = get_sampler(sampler_name)
+        spec = self.spec
+
+        def fn(te_params, unet_params, vae_params, ids, neg_ids, latents, guidance):
+            hidden, _ = self.text_encoder.apply(te_params, ids)
+            hidden = apply_null_embedding_patch(
+                hidden, ids, self.null_embedding,
+                spec.text_encoder.eos_token_id, self.fixed_special,
+            )
+            if do_cfg:
+                neg_hidden, _ = self.text_encoder.apply(te_params, neg_ids)
+                neg_hidden = apply_null_embedding_patch(
+                    neg_hidden, neg_ids, self.null_embedding,
+                    spec.text_encoder.eos_token_id, self.fixed_special,
+                )
+                ctx = jnp.concatenate([neg_hidden, hidden], axis=0)
+
+                def model_fn(x, t):
+                    x2 = jnp.concatenate([x, x], axis=0)
+                    t2 = jnp.concatenate([t, t], axis=0)
+                    out = self.unet.apply(unet_params, x2, t2, ctx)
+                    uncond, cond = jnp.split(out, 2, axis=0)
+                    return uncond + guidance * (cond - uncond)
+
+            else:
+
+                def model_fn(x, t):
+                    return self.unet.apply(unet_params, x, t, hidden)
+
+            z = sampler(model_fn, self.schedule, latents, steps)
+            images = self.vae.apply(
+                vae_params, z / spec.vae.scaling_factor, method="decode"
+            )
+            return jnp.clip(images.astype(jnp.float32), -1.0, 1.0)
+
+        return jax.jit(fn)
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        prompt: Union[str, Sequence[str]],
+        *,
+        negative_prompt: str = "",
+        num_inference_steps: int = 25,
+        guidance_scale: float = 7.5,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        seed: Optional[int] = None,
+        rng: Optional[jax.Array] = None,
+        latents: Optional[jnp.ndarray] = None,
+        sampler: str = "dpm++2m",
+        output_type: str = "uint8",
+    ) -> np.ndarray:
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        batch = len(prompts)
+        height = height or self.spec.resolution
+        width = width or self.spec.resolution
+        lh, lw = height // 8, width // 8
+
+        ids = jnp.asarray(self.encode_prompts(prompts))
+        neg_ids = jnp.asarray(
+            self.encode_prompts([negative_prompt] * batch)
+        )
+        if latents is None:
+            if rng is None:
+                rng = jax.random.PRNGKey(0 if seed is None else seed)
+            latents = jax.random.normal(rng, (batch, lh, lw, 4), dtype=jnp.float32)
+        else:
+            latents = jnp.asarray(latents)
+            if latents.ndim == 3:
+                latents = jnp.broadcast_to(latents[None], (batch,) + latents.shape)
+
+        do_cfg = guidance_scale > 1.0
+        fn = self._sample_fn(batch, height, width, num_inference_steps, do_cfg, sampler)
+        images = fn(
+            self.te_params, self.unet_params, self.vae_params,
+            ids, neg_ids, latents, jnp.float32(guidance_scale),
+        )
+        images = np.asarray(images)
+        if output_type == "uint8":
+            return ((images + 1.0) * 127.5).round().clip(0, 255).astype(np.uint8)
+        return images
+
+    # ------------------------------------------------------------------
+    def compute_null_embedding(self) -> np.ndarray:
+        """Frozen-encoder output of the empty prompt — regenerates the
+        reference's cached asset (assets/null_emb_*.pt) natively."""
+        ids = jnp.asarray(self.encode_prompts([""]))
+        hidden, _ = jax.jit(self.text_encoder.apply)(self.te_params, ids)
+        return np.asarray(hidden[0], dtype=np.float32)

@@ -1,0 +1,462 @@
+"""Trainer: setup + loop orchestration.
+
+Counterpart of `main()` in /root/reference/train_textboost.py:549-1270,
+restructured TPU-first: all per-step work lives in one donated, jitted,
+GSPMD-sharded function (train/step.py); the Python loop only feeds
+prefetched host batches, logs scalars, and checkpoints.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import flax
+
+from ..data import (
+    InstructPix2PixDataset,
+    PairedAugmentation,
+    PrefetchLoader,
+    PriorDataset,
+    TextBoostDataset,
+    load_tokenizer,
+)
+from ..data.sharding import process_shard_info
+from ..lora.partition import count_params, lr_schedule, make_optimizer, trainable_mask
+from ..models import CLIPTextModel
+from ..models.pretrained import ModelBundle, load_models
+from ..ops.attention import set_default_attention_impl
+from ..ops.schedule import NoiseSchedule
+from ..parallel.mesh import batch_sharding, make_mesh, replicated, shard_params
+from ..pipelines import TextToImagePipeline
+from ..tokens.surgery import (
+    add_augmentation_tokens,
+    add_token,
+    embedding_norm_stats,
+)
+from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from .config import TrainConfig
+from .step import StepConfig, TextBoostTrainState, make_train_step
+
+logger = logging.getLogger("textboost_tpu")
+
+
+class Trainer:
+    def __init__(self, config: TrainConfig):
+        self.config = config
+        os.makedirs(config.output_dir, exist_ok=True)
+        self._setup_logging()
+        set_default_attention_impl(config.attention_impl)
+        if config.gradient_accumulation_steps != 1:
+            raise NotImplementedError(
+                "gradient_accumulation_steps > 1 is not supported (the reference "
+                "forbids it for two-model multi-process training as well; "
+                "train_textboost.py:573-577)."
+            )
+        self._setup()
+
+    # ------------------------------------------------------------------
+    def _setup_logging(self):
+        os.makedirs(self.config.output_dir, exist_ok=True)
+        handler = logging.FileHandler(
+            os.path.join(self.config.output_dir, "training.log")
+        )
+        handler.setFormatter(
+            logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+        )
+        logger.addHandler(handler)
+        logger.setLevel(logging.INFO)
+        self._metrics_file = open(
+            os.path.join(self.config.output_dir, "metrics.jsonl"), "a"
+        )
+
+    def _log_metrics(self, step: int, scalars: Dict[str, float]):
+        rec = {"step": step, **{k: float(v) for k, v in scalars.items()}}
+        self._metrics_file.write(json.dumps(rec) + "\n")
+        self._metrics_file.flush()
+
+    # ------------------------------------------------------------------
+    def _setup(self):
+        cfg = self.config
+        dtype = {
+            None: jnp.float32,
+            "no": jnp.float32,
+            "fp16": jnp.bfloat16,  # TPU: bf16 is the mixed-precision dtype
+            "bf16": jnp.bfloat16,
+        }[cfg.mixed_precision]
+        self.weight_dtype = dtype
+
+        # ---- models (train_textboost.py:630-654) ----
+        self.bundle: ModelBundle = load_models(
+            cfg.pretrained_model_name_or_path,
+            preset=cfg.model_preset,
+            lora_rank=cfg.lora_rank,
+            dtype=dtype,
+            seed=cfg.seed,
+            remat=cfg.gradient_checkpointing,
+        )
+        spec = self.bundle.spec
+        self.tokenizer = load_tokenizer(
+            cfg.tokenizer_name or cfg.pretrained_model_name_or_path
+        )
+
+        # Frozen reference encoder, captured BEFORE token surgery
+        # (train_textboost.py:650).  Aliasing the bundle buffers is safe:
+        # frozen trees are never donated.
+        self.frozen_te = CLIPTextModel(spec.text_encoder, dtype=dtype)
+        self.frozen_te_params = {"params": dict(self.bundle.te_params["params"])}
+
+        # ---- token surgery (:665-688) ----
+        self.concepts = cfg.resolve_concepts()
+        emb = np.asarray(
+            self.bundle.te_params["params"]["token_embedding"], np.float32
+        )
+        first_added_id = len(self.tokenizer)
+        self.token_to_id: Dict[str, int] = {}
+        self.concept_tokens: Dict[str, str] = {}
+        for concept in self.concepts:
+            placeholder = concept["instance_token"]
+            initializer = concept.get("initializer_token") or cfg.initializer_token
+            res = add_token(emb, self.tokenizer, placeholder, initializer)
+            emb = res.embedding
+            for tok, tid in zip(res.placeholder_tokens, res.placeholder_token_ids):
+                self.token_to_id[tok] = tid
+            # Multi-vector prompts use the expanded identifier.
+            self.concept_tokens[placeholder] = " ".join(res.placeholder_tokens)
+
+        self.caption_map = None
+        if cfg.augment_inversion:
+            emb, aug_ids, aug_dict, self.caption_map = add_augmentation_tokens(
+                emb, self.tokenizer, cfg.augment_ops
+            )
+            self.token_to_id.update(aug_dict)
+
+        self.first_added_id = first_added_id
+        max_norm, mean_norm = embedding_norm_stats(emb, first_added_id)
+        logger.info("Max norm: %s  Mean norm: %s", max_norm, mean_norm)
+        self.mean_norm = mean_norm
+
+        # Rebuild text encoder with the grown vocab.
+        self.text_encoder = CLIPTextModel(
+            spec.text_encoder,
+            lora_rank=cfg.lora_rank,
+            dtype=dtype,
+            vocab_size_override=emb.shape[0],
+        )
+        te_params = dict(self.bundle.te_params["params"])
+        te_params["token_embedding"] = jnp.asarray(emb)
+        self.te_params = {"params": te_params}
+
+        # ---- null embedding (:649): regenerated natively ----
+        ids = jnp.asarray(
+            np.asarray(
+                self.tokenizer(
+                    "", padding="max_length", max_length=77, return_tensors="np"
+                )["input_ids"],
+                np.int32,
+            )
+        )
+        hidden, _ = jax.jit(self.frozen_te.apply)(self.frozen_te_params, ids)
+        self.null_embedding = jnp.asarray(np.asarray(hidden[0], np.float32))
+
+        # ---- schedule ----
+        self.schedule = NoiseSchedule.create(
+            num_train_timesteps=spec.scheduler.num_train_timesteps,
+            beta_start=spec.scheduler.beta_start,
+            beta_end=spec.scheduler.beta_end,
+            beta_schedule=spec.scheduler.beta_schedule,
+            prediction_type=spec.scheduler.prediction_type,
+        )
+
+        # ---- optimizer (:829-854, :911-916) ----
+        lr, emb_lr = cfg.learning_rate, cfg.emb_learning_rate
+        if cfg.scale_lr:
+            scale = cfg.gradient_accumulation_steps * cfg.train_batch_size * jax.process_count()
+            lr, emb_lr = lr * scale, emb_lr * scale
+        self.optimizer = make_optimizer(
+            lr_schedule(cfg.lr_scheduler, lr, cfg.lr_warmup_steps, cfg.max_train_steps),
+            lr_schedule(cfg.lr_scheduler, emb_lr, cfg.lr_warmup_steps, cfg.max_train_steps),
+            self.te_params,
+            beta1=cfg.adam_beta1,
+            beta2=cfg.adam_beta2,
+            weight_decay=cfg.adam_weight_decay,
+            eps=cfg.adam_epsilon,
+        )
+
+        n_train = count_params(self.te_params, trainable_mask(self.te_params))
+        logger.info("Trainable params: %.3fM", n_train / 1e6)
+        print(f"Trainable params: {n_train/1e6:.3f}M "
+              f"(LoRA r={cfg.lora_rank} + {len(self.token_to_id)} token embeddings)")
+
+        # ---- data (:857-909) ----
+        augment_pipe = None
+        if cfg.augment.lower() in ("pda", "paug"):
+            augment_pipe = PairedAugmentation(
+                inversion=cfg.augment_inversion,
+                p=cfg.augment_p,
+                augment_prompt=bool(cfg.augment_prompt),
+                ops=cfg.augment_ops,
+                caption_map=self.caption_map,
+                seed=cfg.seed,
+            )
+        elif cfg.augment.lower() not in ("none", ""):
+            raise ValueError(f"Unknown augment mode: {cfg.augment}")
+
+        concepts_for_ds = [
+            {**c, "instance_token": self.concept_tokens[c["instance_token"]]}
+            for c in self.concepts
+        ]
+        shard_id, num_shards = process_shard_info()
+        dataset = TextBoostDataset(
+            concepts_for_ds,
+            self.tokenizer,
+            num_instance=cfg.num_samples,
+            template=cfg.template,
+            prior_data_root=cfg.class_data_dir if cfg.with_image_prior else None,
+            class_token=cfg.class_token,
+            num_prior=cfg.num_prior_images if cfg.with_image_prior else None,
+            size=cfg.resolution,
+            center_crop=cfg.center_crop,
+            augment_pipe=augment_pipe,
+            seed=cfg.seed,
+        )
+        self.train_loader = PrefetchLoader(
+            dataset,
+            batch_size=cfg.train_batch_size,
+            collate=TextBoostDataset.collate,
+            collate_kwargs={"with_prior_preservation": cfg.with_image_prior},
+            shard_id=shard_id,
+            num_shards=num_shards,
+            seed=cfg.seed,
+            num_workers=max(cfg.dataloader_num_workers, 1) * 2,
+        )
+        ip2p = InstructPix2PixDataset(cfg.human_prompts_path)
+        prior_ds = PriorDataset(
+            ip2p,
+            self.tokenizer,
+            additional_template=cfg.template,
+            additional_category=[c.get("class_token") or cfg.initializer_token
+                                 for c in self.concepts],
+            null_prob=cfg.null_prob,
+            seed=cfg.seed + 1,
+        )
+        self.prior_loader = PrefetchLoader(
+            prior_ds,
+            batch_size=cfg.train_batch_size,
+            collate=PriorDataset.collate,
+            shard_id=shard_id,
+            num_shards=num_shards,
+            seed=cfg.seed + 1,
+            num_workers=2,
+        )
+
+        # ---- mesh + sharded step ----
+        self.mesh = make_mesh(dp=cfg.mesh_dp, tp=cfg.mesh_tp)
+        tp = cfg.mesh_tp > 1
+        self.unet_params = shard_params(self.bundle.unet_params, self.mesh, tp)
+        self.vae_params = shard_params(self.bundle.vae_params, self.mesh, False)
+        self.frozen_te_params = shard_params(self.frozen_te_params, self.mesh, tp)
+        # The trainable tree is donated every step — it must not alias the
+        # frozen/bundle buffers, so force fresh copies through one jit.
+        self.te_params = jax.jit(lambda t: jax.tree.map(jnp.copy, t))(
+            shard_params(self.te_params, self.mesh, False)
+        )
+
+        step_config = StepConfig(
+            prediction_type=spec.scheduler.prediction_type,
+            vae_scaling=spec.vae.scaling_factor,
+            kpl_weight=cfg.kpl_weight,
+            kpl_type=cfg.kpl_type,
+            with_image_prior=cfg.with_image_prior,
+            image_ppl_weight=cfg.image_ppl_weight,
+            max_grad_norm=cfg.max_grad_norm,
+            first_added_token_id=first_added_id,
+            embedding_target_norm=mean_norm,
+            mixing=cfg.mixing,
+            augment_ops=cfg.augment_ops,
+            weighted_timesteps=not cfg.disable_weighted_sample,
+            eos_token_id=spec.text_encoder.eos_token_id,
+        )
+        raw_step = make_train_step(
+            text_encoder_apply=self.text_encoder.apply,
+            frozen_text_encoder_apply=self.frozen_te.apply,
+            unet_apply=self.bundle.unet.apply,
+            vae_encode_moments=lambda p, x: self.bundle.vae.apply(
+                p, x, method="encode_moments"
+            ),
+            optimizer=self.optimizer,
+            schedule=self.schedule,
+            config=step_config,
+            null_embedding=self.null_embedding,
+        )
+        self.frozen = {
+            "unet": self.unet_params,
+            "vae": self.vae_params,
+            "te": self.frozen_te_params,
+        }
+        rep = replicated(self.mesh)
+        self.train_step = jax.jit(
+            raw_step,
+            donate_argnums=(0,),
+            out_shardings=(rep, rep),
+        )
+
+        # ---- state (+resume, :959-981) ----
+        opt_state = jax.jit(self.optimizer.init)(self.te_params)
+        self.state = TextBoostTrainState(
+            step=jnp.zeros((), jnp.int32),
+            te_params=self.te_params,
+            opt_state=opt_state,
+            rng=jax.random.PRNGKey(cfg.seed),
+        )
+        self.start_step = 0
+        if cfg.resume_from_checkpoint:
+            path = (
+                cfg.output_dir
+                if cfg.resume_from_checkpoint == "latest"
+                else cfg.resume_from_checkpoint
+            )
+            if latest_checkpoint(path) or os.path.basename(path).startswith("checkpoint-"):
+                self.state = jax.device_put(
+                    restore_checkpoint(path, self.state), replicated(self.mesh)
+                )
+                self.start_step = int(self.state.step)
+                logger.info("Resumed from step %d", self.start_step)
+            else:
+                logger.info("No checkpoint found at %s; starting fresh", path)
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, batch: Dict, prior_batch: Dict) -> Dict:
+        arrays = {
+            "pixel_values": batch["pixel_values"],
+            "input_ids": batch["input_ids"],
+            "prior_input_ids": prior_batch["input_ids"],
+        }
+        if "mask" in batch:
+            arrays["mask"] = batch["mask"]
+        return {
+            k: jax.device_put(v, batch_sharding(self.mesh, np.ndim(v)))
+            for k, v in arrays.items()
+        }
+
+    # ------------------------------------------------------------------
+    def train(self) -> Dict[str, float]:
+        cfg = self.config
+        train_iter = iter(self.train_loader)
+        prior_iter = iter(self.prior_loader)
+
+        self._log_metrics(0, {"max_norm": 0.0, "mean_norm": self.mean_norm})
+        step = self.start_step
+        start_time = time.perf_counter()
+        last_metrics: Dict[str, float] = {}
+        while step < cfg.max_train_steps:
+            batch = self._device_batch(next(train_iter), next(prior_iter))
+            self.state, metrics = self.train_step(self.state, batch, self.frozen)
+            step += 1
+
+            if step % 10 == 0 or step == cfg.max_train_steps:
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                self._log_metrics(step, last_metrics)
+
+            if step % cfg.checkpointing_steps == 0 and jax.process_index() == 0:
+                self.save(step)
+            if (
+                cfg.validation_prompts
+                and cfg.validation_steps
+                and step % cfg.validation_steps == 0
+            ):
+                self.run_validation(step)
+
+        wall = time.perf_counter() - start_time
+        logger.info("Training took %.1f seconds.", wall)
+        print(f"Training took {wall:.1f} seconds.")
+        if jax.process_index() == 0:
+            self.save_final()
+        self.train_loader.stop()
+        self.prior_loader.stop()
+        return {"wall_time_s": wall, "steps": step, **last_metrics}
+
+    # ------------------------------------------------------------------
+    def save(self, step: int) -> str:
+        return save_checkpoint(
+            self.config.output_dir,
+            step,
+            self.state,
+            token_to_id=self.token_to_id,
+            lora_rank=self.config.lora_rank,
+            base_model_name=self.config.pretrained_model_name_or_path
+            or self.bundle.spec.name,
+            total_limit=self.config.checkpoints_total_limit,
+        )
+
+    def save_final(self):
+        """Final layout (train_textboost.py:1234-1266): text_encoder/ PEFT
+        dir + token bins at output root."""
+        from ..lora.peft_io import export_lora_adapter, export_token_embeddings
+
+        out = self.config.output_dir
+        if not self.config.skip_save_text_encoder and self.config.lora_rank > 0:
+            export_lora_adapter(
+                self.state.te_params,
+                os.path.join(out, "text_encoder"),
+                rank=self.config.lora_rank,
+                base_model_name=self.config.pretrained_model_name_or_path
+                or self.bundle.spec.name,
+            )
+        emb = np.asarray(
+            self.state.te_params["params"]["token_embedding"], np.float32
+        )
+        export_token_embeddings(emb, self.token_to_id, out)
+
+    # ------------------------------------------------------------------
+    def make_pipeline(self) -> TextToImagePipeline:
+        return TextToImagePipeline(
+            self.bundle.spec,
+            self.tokenizer,
+            self.state.te_params,
+            self.unet_params,
+            self.vae_params,
+            null_embedding=self.null_embedding,
+            fixed_special=True,
+            lora_rank=self.config.lora_rank,
+            vocab_size=int(
+                self.state.te_params["params"]["token_embedding"].shape[0]
+            ),
+            dtype=self.weight_dtype,
+        )
+
+    def run_validation(self, step: int):
+        """log_validation counterpart (train_textboost.py:453-531): sample a
+        grid with the live weights and write validation_{step}.jpg."""
+        cfg = self.config
+        pipe = self.make_pipeline()
+        prompts = []
+        for prompt in cfg.validation_prompts or []:
+            # "<i>" substitution per concept (:503-505).
+            for concept in self.concepts:
+                prompts.append(
+                    prompt.replace("<i>", self.concept_tokens[concept["instance_token"]])
+                )
+        prompts = prompts[: cfg.num_validation_images] or [
+            f"a photo of {self.concept_tokens[self.concepts[0]['instance_token']]}"
+        ]
+        images = pipe(
+            prompts,
+            num_inference_steps=25,
+            guidance_scale=7.5,
+            seed=cfg.seed,
+            sampler=cfg.validation_scheduler,
+        )
+        from PIL import Image
+
+        grid = np.concatenate(list(images), axis=1)
+        path = os.path.join(cfg.output_dir, f"validation_{step}.jpg")
+        Image.fromarray(grid).save(path)
+        logger.info("Wrote validation grid %s", path)
+        return path
