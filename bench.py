@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Headline benchmark: TextBoost train-step throughput on real hardware.
+
+Measures the full jitted train step (VAE encode -> text encode -> frozen
+UNet forward + backward-through-activations -> grad surgery -> AdamW ->
+renorm) at the reference's flagship config: SD1.5 shapes, batch 8, 512px,
+TE LoRA r=4 (BASELINE.md: 250 steps x bs 8; north star <2 min on v5e-8).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline: measured single-chip steps/sec divided by 2.083 steps/sec —
+the rate that completes 250 steps in 120 s.  >= 1.0 means the v5e-8
+north-star pace is already met on ONE chip.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
+TARGET_STEPS_PER_SEC = 250.0 / 120.0  # north-star pace
+
+
+def build_train_bench(preset: str, batch: int, resolution: int, lora_rank: int):
+    import jax
+    import jax.numpy as jnp
+
+    from textboost_tpu.lora.partition import make_optimizer
+    from textboost_tpu.models import CLIPTextModel, get_spec
+    from textboost_tpu.models.pretrained import load_models
+    from textboost_tpu.ops.schedule import NoiseSchedule
+    from textboost_tpu.train.step import StepConfig, TextBoostTrainState, make_train_step
+
+    spec = get_spec(preset)
+    bundle = load_models(preset, lora_rank=lora_rank, dtype=jnp.bfloat16, remat=True)
+
+    frozen_te = CLIPTextModel(spec.text_encoder, dtype=jnp.bfloat16)
+    schedule = NoiseSchedule.create(
+        beta_start=spec.scheduler.beta_start,
+        beta_end=spec.scheduler.beta_end,
+        beta_schedule=spec.scheduler.beta_schedule,
+        prediction_type=spec.scheduler.prediction_type,
+    )
+    null_emb = jnp.zeros((77, spec.text_encoder.hidden_size), jnp.float32)
+
+    optimizer = make_optimizer(1e-4, 1e-3, bundle.te_params)
+    config = StepConfig(
+        prediction_type=spec.scheduler.prediction_type,
+        vae_scaling=spec.vae.scaling_factor,
+        kpl_weight=0.1,
+        first_added_token_id=spec.text_encoder.vocab_size - 1,
+        embedding_target_norm=0.15,
+    )
+    step = make_train_step(
+        text_encoder_apply=bundle.text_encoder.apply,
+        frozen_text_encoder_apply=frozen_te.apply,
+        unet_apply=bundle.unet.apply,
+        vae_encode_moments=lambda p, x: bundle.vae.apply(p, x, method="encode_moments"),
+        optimizer=optimizer,
+        schedule=schedule,
+        config=config,
+        null_embedding=null_emb,
+    )
+    jit_step = jax.jit(step, donate_argnums=(0,))
+
+    rng = jax.random.PRNGKey(0)
+    state = TextBoostTrainState(
+        step=jnp.zeros((), jnp.int32),
+        te_params=bundle.te_params,
+        opt_state=jax.jit(optimizer.init)(bundle.te_params),
+        rng=rng,
+    )
+    frozen = {"unet": bundle.unet_params, "vae": bundle.vae_params,
+              "te": {"params": dict(bundle.te_params["params"])}}
+    # Trainable tree must not alias frozen["te"] (donation).
+    state = TextBoostTrainState(
+        step=state.step,
+        te_params=jax.jit(lambda t: jax.tree.map(jnp.copy, t))(state.te_params),
+        opt_state=state.opt_state,
+        rng=state.rng,
+    )
+
+    batch_data = {
+        "pixel_values": jax.random.normal(
+            jax.random.PRNGKey(1), (batch, resolution, resolution, 3), jnp.float32
+        ) * 0.5,
+        "input_ids": jnp.full((batch, 77), 49407, jnp.int32).at[:, 0].set(49406),
+        "prior_input_ids": jnp.full((batch, 77), 49407, jnp.int32).at[:, 0].set(49406),
+    }
+    return jit_step, state, batch_data, frozen
+
+
+def bench_train(args):
+    import jax
+
+    jit_step, state, batch, frozen = build_train_bench(
+        args.preset, args.batch_size, args.resolution, args.lora_rank
+    )
+    # Warmup / compile.
+    t0 = time.time()
+    state, metrics = jit_step(state, batch, frozen)
+    jax.block_until_ready(metrics["loss"])
+    compile_s = time.time() - t0
+
+    for _ in range(args.warmup):
+        state, metrics = jit_step(state, batch, frozen)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.time()
+    for _ in range(args.iters):
+        state, metrics = jit_step(state, batch, frozen)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.time() - t0
+    steps_per_sec = args.iters / dt
+    return {
+        "metric": f"train_steps_per_sec_chip ({args.preset}, bs={args.batch_size}, "
+        f"{args.resolution}px, TE LoRA r={args.lora_rank})",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / TARGET_STEPS_PER_SEC, 4),
+        "extra": {
+            "compile_s": round(compile_s, 1),
+            "step_ms": round(1000.0 * dt / args.iters, 1),
+            "projected_250_steps_s": round(250.0 / steps_per_sec, 1),
+            "loss_finite": bool(jax.numpy.isfinite(metrics["loss"])),
+        },
+    }
+
+
+def bench_sample(args):
+    import jax
+
+    from textboost_tpu.pipelines import TextToImagePipeline
+
+    pipe = TextToImagePipeline.from_random(args.preset)
+    prompts = ["a photo of a dog"] * args.batch_size
+    t0 = time.time()
+    pipe(prompts, num_inference_steps=25, guidance_scale=7.5, seed=0,
+         height=args.resolution, width=args.resolution)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for i in range(args.iters):
+        imgs = pipe(prompts, num_inference_steps=25, guidance_scale=7.5, seed=i,
+                    height=args.resolution, width=args.resolution)
+    dt = time.time() - t0
+    ips = args.batch_size * args.iters / dt
+    return {
+        "metric": f"sampling_imgs_per_sec ({args.preset}, 25 steps, "
+        f"{args.resolution}px, CFG)",
+        "value": round(ips, 4),
+        "unit": "imgs/s",
+        "vs_baseline": round(ips, 4),
+        "extra": {"compile_s": round(compile_s, 1)},
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--mode", choices=["train", "sample"], default="train")
+    parser.add_argument("--preset", default="sd15")
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--resolution", type=int, default=512)
+    parser.add_argument("--lora-rank", type=int, default=4)
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--warmup", type=int, default=2)
+    args = parser.parse_args()
+
+    try:
+        result = bench_train(args) if args.mode == "train" else bench_sample(args)
+    except Exception as e:  # noqa: BLE001 — bench must always emit one line
+        result = {
+            "metric": f"bench_{args.mode}_failed",
+            "value": 0.0,
+            "unit": "error",
+            "vs_baseline": 0.0,
+            "extra": {"error": f"{type(e).__name__}: {e}"[:400]},
+        }
+    print(json.dumps(result))
+    return 0 if result["value"] > 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -6,7 +6,9 @@ virtual devices exactly as they would on a v5e-8 slice.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the environment pre-sets JAX_PLATFORMS=axon (the real TPU
+# tunnel); tests must run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

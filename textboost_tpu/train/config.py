@@ -127,6 +127,8 @@ class TrainConfig:
                     "class_token": self.class_token,
                     "instance_data_dir": self.instance_data_dir,
                     "class_data_dir": self.class_data_dir,
+                    "placeholder_token": self.placeholder_token,
+                    "initializer_token": self.initializer_token,
                 }
             ]
         with open(self.concepts_list) as f:
@@ -134,6 +136,8 @@ class TrainConfig:
         for concept in concepts:
             concept.setdefault("class_token", self.class_token)
             concept.setdefault("class_data_dir", self.class_data_dir)
+            concept.setdefault("placeholder_token", self.placeholder_token)
+            concept.setdefault("initializer_token", self.initializer_token)
         return concepts
 
 

@@ -121,14 +121,21 @@ class Trainer:
         self.token_to_id: Dict[str, int] = {}
         self.concept_tokens: Dict[str, str] = {}
         for concept in self.concepts:
-            placeholder = concept["instance_token"]
+            # Surgery targets placeholder_token; instance_token is then
+            # overwritten with the expanded placeholders, matching the
+            # reference (train_textboost.py:665-693, where concepts'
+            # instance_token is replaced post-surgery).  Deviation: prompts
+            # join the placeholders with spaces instead of str(list).
+            placeholder = concept.get("placeholder_token") or concept["instance_token"]
             initializer = concept.get("initializer_token") or cfg.initializer_token
             res = add_token(emb, self.tokenizer, placeholder, initializer)
             emb = res.embedding
             for tok, tid in zip(res.placeholder_tokens, res.placeholder_token_ids):
                 self.token_to_id[tok] = tid
             # Multi-vector prompts use the expanded identifier.
-            self.concept_tokens[placeholder] = " ".join(res.placeholder_tokens)
+            joined = " ".join(res.placeholder_tokens)
+            self.concept_tokens[concept["instance_token"]] = joined
+            self.concept_tokens[placeholder] = joined
 
         self.caption_map = None
         if cfg.augment_inversion:
