@@ -20,4 +20,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
 import jax  # noqa: E402
 
+# The axon sitecustomize registers the TPU plugin regardless of the env
+# var; the config knob is authoritative.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+assert jax.device_count() == 8, (
+    f"tests require the 8-device virtual CPU mesh, got {jax.devices()}"
+)

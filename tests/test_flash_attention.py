@@ -1,0 +1,107 @@
+"""Flash-attention kernel vs XLA reference (interpret mode on CPU)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from textboost_tpu.ops.flash_attention import flash_attention, supports_flash
+
+
+def _ref_attention(q, k, v, scale):
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+
+
+def _rand(shape, seed):
+    return jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32)
+
+
+@pytest.mark.parametrize(
+    "b,n,h,d",
+    [
+        (1, 256, 2, 64),
+        (2, 512, 2, 40),  # SD1.5 level-0 head dim (pads 40 -> 128)
+        (1, 256, 1, 128),
+    ],
+)
+def test_forward_matches_reference(b, n, h, d):
+    q, k, v = _rand((b, n, h, d), 0), _rand((b, n, h, d), 1), _rand((b, n, h, d), 2)
+    scale = d**-0.5
+    out = flash_attention(q, k, v, scale=scale, interpret=True, block_q=128, block_k=128)
+    ref = _ref_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_backward_matches_reference():
+    b, n, h, d = 1, 256, 2, 64
+    q, k, v = _rand((b, n, h, d), 0), _rand((b, n, h, d), 1), _rand((b, n, h, d), 2)
+    scale = d**-0.5
+    cot = _rand((b, n, h, d), 3)
+
+    flash = functools.partial(
+        flash_attention, scale=scale, interpret=True, block_q=128, block_k=128
+    )
+    ref = functools.partial(_ref_attention, scale=scale)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash(q, k, v) * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(ref(q, k, v) * cot)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=5e-5, rtol=5e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_backward_padded_head_dim():
+    b, n, h, d = 1, 256, 1, 40
+    q, k, v = _rand((b, n, h, d), 0), _rand((b, n, h, d), 1), _rand((b, n, h, d), 2)
+    scale = d**-0.5
+
+    def loss(fn, q, k, v):
+        return jnp.sum(jnp.square(fn(q, k, v)))
+
+    flash = functools.partial(
+        flash_attention, scale=scale, interpret=True, block_q=128, block_k=128
+    )
+    ref = functools.partial(_ref_attention, scale=scale)
+    gf = jax.grad(lambda *a: loss(flash, *a), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: loss(ref, *a), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5, rtol=5e-4)
+
+
+def test_unsupported_shapes_fall_back():
+    # Cross-attention shape: kv len 77 is not block-divisible -> XLA path.
+    assert not supports_flash(4096, 77, 40)
+    assert supports_flash(4096, 4096, 40)
+    assert not supports_flash(64, 64, 40)  # too small to benefit
+    q, k, v = _rand((1, 128, 1, 16), 0), _rand((1, 77, 1, 16), 1), _rand((1, 77, 1, 16), 2)
+    out = flash_attention(q, k, v, scale=0.25)
+    ref = _ref_attention(q, k, v, 0.25)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_bf16_forward():
+    b, n, h, d = 1, 256, 2, 64
+    q = _rand((b, n, h, d), 0).astype(jnp.bfloat16)
+    k = _rand((b, n, h, d), 1).astype(jnp.bfloat16)
+    v = _rand((b, n, h, d), 2).astype(jnp.bfloat16)
+    out = flash_attention(
+        q, k, v, scale=d**-0.5, interpret=True, block_q=128, block_k=128
+    )
+    ref = _ref_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32), d**-0.5
+    )
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=2e-2, rtol=2e-2
+    )

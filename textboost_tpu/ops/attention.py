@@ -72,12 +72,14 @@ def multi_head_attention(
     if impl == "auto":
         # Flash pays off when the score matrix is large; tiny sequences
         # (CLIP's 77 tokens) are faster through plain XLA fusion.
+        from .flash_attention import supports_flash
+
         use_flash = (
             jax.default_backend() == "tpu"
             and mask is None
             and not causal
             and n >= 1024
-            and q.shape[-1] <= 128
+            and supports_flash(n, m, q.shape[-1])
         )
         impl = "flash" if use_flash else "xla"
 

@@ -1,18 +1,289 @@
-"""Pallas TPU flash attention.
+"""Pallas TPU flash attention (forward + backward).
 
-Placeholder that currently routes to the XLA path; replaced by the real
-Pallas kernel in the performance pass (SURVEY.md §7 step 7).  Keeping the
-symbol stable lets ops/attention.py dispatch unconditionally.
+Replaces the XLA softmax-attention chain for the UNet's large spatial
+self-attentions (seq 4096 at 64x64 latents), where materializing the
+[B,H,N,N] score matrix is HBM-bandwidth-bound.  Online-softmax streaming
+over K/V blocks keeps everything in VMEM; the backward pass recomputes
+P blockwise from the saved logsumexp (standard flash-attention recipe) in
+two kernels (dKV gridded over K blocks, dQ gridded over Q blocks).
+
+Layout: [BH, N, D] with batch*heads folded into the grid's leading dim.
+D is zero-padded to the 128-lane boundary by the wrapper; N must divide
+into the chosen blocks (the dispatcher falls back to XLA otherwise).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _block(n: int, target: int) -> int:
+    b = min(n, target)
+    while n % b:
+        b //= 2
+    return max(b, 128) if n % max(b, 128) == 0 else b
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, n_kv):
+    # q_ref: [BQ, D]; k_ref/v_ref: [NKV, D]; o_ref: [BQ, D]; lse_ref: [BQ, 128]
+    q = q_ref[:].astype(jnp.float32) * scale
+    bq, d = q.shape
+    num_kb = n_kv // block_k
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BQ, BK]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
+    o_ref[:] = (acc / l).astype(o_ref.dtype)
+    lse = m + jnp.log(l)  # [BQ, 1]
+    lse_ref[:] = jnp.broadcast_to(lse, lse_ref.shape)
+
+
+def _fwd(q, k, v, scale, block_q, block_k, interpret):
+    bh, n, d = q.shape
+    n_kv = k.shape[1]
+    grid = (bh, n // block_q)
+    kernel = functools.partial(_fwd_kernel, scale=scale, block_k=block_k, n_kv=n_kv)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n_kv, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n_kv, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return out, lse[:, :, :1]
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, scale, block_q, n_q,
+):
+    # Gridded over K blocks: k_ref/v_ref [BK, D]; loop over all q blocks.
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    bk, d = k.shape
+    num_qb = n_q // block_q
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32) * scale
+        do = do_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[pl.ds(i * block_q, block_q), :1]
+        delta = delta_ref[pl.ds(i * block_q, block_q), :1]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BQ, BK]
+        p = jnp.exp(s - lse)
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BK, D]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BQ, BK]
+        ds = p * (dp - delta)
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BK, D]  (q already has scale folded in)
+        return dk, dv
+
+    dk0 = jnp.zeros((bk, d), jnp.float32)
+    dv0 = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, scale, block_k, n_kv,
+):
+    q = q_ref[:].astype(jnp.float32) * scale
+    do = do_ref[:].astype(jnp.float32)
+    lse = lse_ref[:, :1]
+    delta = delta_ref[:, :1]
+    bq, d = q.shape
+    num_kb = n_kv // block_k
+
+    def body(i, dq):
+        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[:] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd(scale, block_q, block_k, interpret, residuals, dout):
+    q, k, v, out, lse = residuals
+    bh, n, d = q.shape
+    n_kv = k.shape[1]
+    delta = jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32), axis=-1,
+                    keepdims=True)  # [BH, N, 1]
+    lse_b = jnp.broadcast_to(lse, (bh, n, 128))
+    delta_b = jnp.broadcast_to(delta, (bh, n, 128))
+
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel, scale=scale, block_q=block_q, n_q=n
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh, n_kv // block_k),
+        in_specs=[
+            pl.BlockSpec((None, n, d), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n, d), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n, 128), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n, 128), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_k, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_kv, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_kv, d), q.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, dout, lse_b, delta_b)
+
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel, scale=scale, block_k=block_k, n_kv=n_kv
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(bh, n // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n_kv, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n_kv, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, dout, lse_b, delta_b)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper on [BH, N, D]
+# ---------------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_bhnd(q, k, v, scale, block_q, block_k, interpret):
+    out, _ = _fwd(q, k, v, scale, block_q, block_k, interpret)
+    return out
+
+
+def _flash_fwd_rule(q, k, v, scale, block_q, block_k, interpret):
+    out, lse = _fwd(q, k, v, scale, block_q, block_k, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bwd_rule(scale, block_q, block_k, interpret, residuals, dout):
+    return _bwd(scale, block_q, block_k, interpret, residuals, dout)
+
+
+_flash_bhnd.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def supports_flash(n_q: int, n_kv: int, d: int) -> bool:
+    """Shapes the kernel handles: both sequence lengths block-divisible."""
+    return (
+        n_q % 128 == 0
+        and n_kv % 128 == 0
+        and n_q >= 256
+        and d <= 256
+    )
 
 
 def flash_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *, scale: float
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits * scale, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+    """Flash attention over [B, N, H, D] (ops/attention.py layout)."""
+    b, n, h, d = q.shape
+    n_kv = k.shape[1]
+    if not supports_flash(n, n_kv, d):
+        # XLA fallback for shapes outside the kernel's envelope.
+        logits = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+        )
+        probs = jax.nn.softmax(logits * scale, axis=-1).astype(v.dtype)
+        return jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+
+    block_q = _block(n, block_q)
+    block_k = _block(n_kv, block_k)
+
+    # Pad head dim to the 128-lane boundary; zero columns do not change
+    # softmax(q k^T) v and receive zero gradients.
+    d_pad = (-d) % 128
+    to_bhnd = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+    qt, kt, vt = to_bhnd(q), to_bhnd(k), to_bhnd(v)
+    if d_pad:
+        padder = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, d_pad)))
+        qt, kt, vt = padder(qt), padder(kt), padder(vt)
+
+    out = _flash_bhnd(qt, kt, vt, scale, block_q, block_k, interpret)
+    out = out[:, :, :d].reshape(b, h, n, d).transpose(0, 2, 1, 3)
+    return out.astype(q.dtype)
