@@ -95,7 +95,11 @@ def clip_encoder_grads(grads: Params, max_norm: float) -> Params:
     (train_textboost.py:1128-1133 clips text_model.encoder parameters)."""
 
     def is_encoder(path):
-        return not _path_str(path).endswith("token_embedding")
+        p = _path_str(path)
+        # Text-encoder transformer params only: the reference clips
+        # text_model.encoder.parameters() — not the embedding matrix and
+        # not UNet adapters.
+        return not p.endswith("token_embedding") and "unet_lora" not in p
 
     leaves = [
         g
@@ -135,6 +139,30 @@ def added_embedding_norm(params: Params, first_added_id: int) -> jnp.ndarray:
         if _path_str(path).endswith("token_embedding"):
             return jnp.linalg.norm(p[first_added_id:], axis=-1).mean()
     return jnp.array(0.0)
+
+
+def split_lora(params: Params):
+    """Split a param tree into (base, lora_only) flat-dict halves — used to
+    train UNet cross-attention adapters without computing full-UNet grads."""
+    import flax
+
+    has_outer = "params" in params
+    flat = flax.traverse_util.flatten_dict(
+        params["params"] if has_outer else params
+    )
+    base, lora = {}, {}
+    for k, v in flat.items():
+        (lora if k[-1] in ("lora_a", "lora_b") else base)[k] = v
+    return base, lora
+
+
+def merge_lora(base: Dict, lora: Dict) -> Params:
+    """Inverse of split_lora -> {"params": tree}."""
+    import flax
+
+    flat = dict(base)
+    flat.update(lora)
+    return {"params": flax.traverse_util.unflatten_dict(flat)}
 
 
 def make_optimizer(

@@ -182,6 +182,9 @@ def convert_unet(state_dict: Dict[str, Array], flax_params, num_levels: int = 4)
     flat = flax.traverse_util.flatten_dict(flax_params["params"])
     out = {}
     for path, leaf in flat.items():
+        if path[-1] in ("lora_a", "lora_b"):
+            out[path] = leaf
+            continue
         key, kind = _unet_leaf_to_torch(path, num_levels)
         if key not in state_dict:
             raise KeyError(f"missing torch key {key}")

@@ -102,18 +102,35 @@ class FeedForward(nn.Module):
 
 
 class CrossAttention(nn.Module):
-    """Attention with optional encoder context (self-attn when context=None)."""
+    """Attention with optional encoder context (self-attn when context=None).
+
+    kv_lora_rank > 0 adds LoRA adapters on to_k/to_v — the UNet
+    `--unet_params_to_train=crossattn_kv` capability
+    (train_textboost.py:712-721 targets attn2.to_k/to_v)."""
 
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    kv_lora_rank: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None):
+        from ..models.clip import LoRADense
+
         dim = x.shape[-1]
         ctx = x if context is None else context
         q = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        if self.kv_lora_rank > 0:
+            k = LoRADense(
+                dim, lora_rank=self.kv_lora_rank, use_bias=False,
+                dtype=self.dtype, name="to_k",
+            )(ctx)
+            v = LoRADense(
+                dim, lora_rank=self.kv_lora_rank, use_bias=False,
+                dtype=self.dtype, name="to_v",
+            )(ctx)
+        else:
+            k = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+            v = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
         out = multi_head_attention(
             split_heads(q, self.num_heads),
             split_heads(k, self.num_heads),
@@ -125,14 +142,15 @@ class CrossAttention(nn.Module):
 class BasicTransformerBlock(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    cross_lora_rank: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray):
         ln = lambda name: nn.LayerNorm(dtype=self.dtype, name=name)
         x = x + CrossAttention(self.num_heads, self.dtype, name="attn1")(ln("norm1")(x))
-        x = x + CrossAttention(self.num_heads, self.dtype, name="attn2")(
-            ln("norm2")(x), context
-        )
+        x = x + CrossAttention(
+            self.num_heads, self.dtype, kv_lora_rank=self.cross_lora_rank, name="attn2"
+        )(ln("norm2")(x), context)
         x = x + FeedForward(self.dtype, name="ff")(ln("norm3")(x))
         return x
 
@@ -145,6 +163,7 @@ class Transformer2D(nn.Module):
     use_linear_projection: bool = False
     num_groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    cross_lora_rank: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray):
@@ -159,7 +178,10 @@ class Transformer2D(nn.Module):
             x = x.reshape(b, h * w, c)
         for i in range(self.depth):
             x = BasicTransformerBlock(
-                self.num_heads, self.dtype, name=f"transformer_blocks_{i}"
+                self.num_heads,
+                self.dtype,
+                cross_lora_rank=self.cross_lora_rank,
+                name=f"transformer_blocks_{i}",
             )(x, context)
         if self.use_linear_projection:
             x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)

@@ -29,6 +29,8 @@ class UNet2DCondition(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # LoRA rank on cross-attention to_k/to_v (--unet_params_to_train=crossattn_kv).
+    cross_lora_rank: int = 0
 
     @nn.compact
     def __call__(
@@ -62,6 +64,7 @@ class UNet2DCondition(nn.Module):
                 use_linear_projection=cfg.use_linear_projection,
                 num_groups=cfg.norm_num_groups,
                 dtype=self.dtype,
+                cross_lora_rank=self.cross_lora_rank,
                 name=name,
             )
 

@@ -72,16 +72,21 @@ def save_checkpoint(
     ckptr.wait_until_finished()
 
     # (2) PEFT adapter (fp32), consumed by inference `load_adapter`.
+    te_tree = (
+        state.te_params["te"]
+        if isinstance(state.te_params, dict) and "te" in state.te_params
+        else state.te_params
+    )
     if lora_rank > 0:
         export_lora_adapter(
-            state.te_params,
+            te_tree,
             os.path.join(ckpt_dir, "text_encoder"),
             rank=lora_rank,
             base_model_name=base_model_name,
         )
 
     # (3) token bins.
-    emb = np.asarray(_find_embedding(state.te_params), dtype=np.float32)
+    emb = np.asarray(_find_embedding(te_tree), dtype=np.float32)
     export_token_embeddings(emb, token_to_id, ckpt_dir)
     return ckpt_dir
 

@@ -25,6 +25,7 @@ from ..lora.partition import (
     added_embedding_norm,
     apply_mixing_mask,
     clip_encoder_grads,
+    merge_lora,
     renorm_added_embeddings,
     trainable_mask,
     zero_frozen_grads,
@@ -102,9 +103,17 @@ def make_train_step(
             hidden, input_ids, null_embedding, config.eos_token_id, config.fixed_special
         )
 
-    def loss_fn(te_params, frozen, batch, noisy, noise, latents, timesteps):
+    def loss_fn(trainable, frozen, batch, noisy, noise, latents, timesteps):
+        if config.train_unet:
+            # UNet cross-attn LoRA: merge trainable adapters into the
+            # frozen base so grads flow only into the adapter leaves.
+            te_params = trainable["te"]
+            unet_params = merge_lora(frozen["unet_base"], trainable["unet_lora"])
+        else:
+            te_params = trainable
+            unet_params = frozen["unet"]
         hidden = encode_text(te_params, batch["input_ids"], text_encoder_apply)
-        model_pred = unet_apply(frozen["unet"], noisy, timesteps, hidden)
+        model_pred = unet_apply(unet_params, noisy, timesteps, hidden)
 
         if config.prediction_type == "epsilon":
             target = noise

@@ -160,6 +160,25 @@ class Trainer:
         te_params["token_embedding"] = jnp.asarray(emb)
         self.te_params = {"params": te_params}
 
+        # ---- optional UNet cross-attn LoRA (:712-721) ----
+        if cfg.unet_params_to_train not in ("none", "crossattn_kv"):
+            raise NotImplementedError(
+                f"unet_params_to_train={cfg.unet_params_to_train} not supported "
+                "yet (none | crossattn_kv)"
+            )
+        self.train_unet = cfg.unet_params_to_train == "crossattn_kv"
+        if self.train_unet:
+            from ..models import UNet2DCondition
+
+            self.unet = UNet2DCondition(
+                spec.unet,
+                dtype=dtype,
+                remat=cfg.gradient_checkpointing,
+                cross_lora_rank=cfg.lora_rank,
+            )
+        else:
+            self.unet = self.bundle.unet
+
         # ---- null embedding (:649): regenerated natively ----
         ids = jnp.asarray(
             np.asarray(
@@ -186,17 +205,35 @@ class Trainer:
         if cfg.scale_lr:
             scale = cfg.gradient_accumulation_steps * cfg.train_batch_size * jax.process_count()
             lr, emb_lr = lr * scale, emb_lr * scale
+        if self.train_unet:
+            from ..lora.partition import split_lora
+
+            rng_u = jax.random.PRNGKey(cfg.seed + 7)
+            lora_params = jax.jit(self.unet.init)(
+                rng_u,
+                jnp.zeros((1, spec.unet.sample_size, spec.unet.sample_size, 4)),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 77, spec.unet.cross_attention_dim)),
+            )
+            base_flat, lora_flat = split_lora(lora_params)
+            # Base weights come from the (pretrained) bundle.
+            pretrained_flat, _ = split_lora(self.bundle.unet_params)
+            self.unet_base_flat = pretrained_flat
+            self.unet_lora_flat = lora_flat
+            trainable_template = {"te": self.te_params, "unet_lora": lora_flat}
+        else:
+            trainable_template = self.te_params
         self.optimizer = make_optimizer(
             lr_schedule(cfg.lr_scheduler, lr, cfg.lr_warmup_steps, cfg.max_train_steps),
             lr_schedule(cfg.lr_scheduler, emb_lr, cfg.lr_warmup_steps, cfg.max_train_steps),
-            self.te_params,
+            trainable_template,
             beta1=cfg.adam_beta1,
             beta2=cfg.adam_beta2,
             weight_decay=cfg.adam_weight_decay,
             eps=cfg.adam_epsilon,
         )
 
-        n_train = count_params(self.te_params, trainable_mask(self.te_params))
+        n_train = count_params(trainable_template, trainable_mask(trainable_template))
         logger.info("Trainable params: %.3fM", n_train / 1e6)
         print(f"Trainable params: {n_train/1e6:.3f}M "
               f"(LoRA r={cfg.lora_rank} + {len(self.token_to_id)} token embeddings)")
@@ -264,7 +301,19 @@ class Trainer:
         )
 
         # ---- mesh + sharded step ----
-        self.mesh = make_mesh(dp=cfg.mesh_dp, tp=cfg.mesh_tp)
+        import math
+
+        n_dev = len(jax.devices())
+        tp = cfg.mesh_tp
+        dp = cfg.mesh_dp or (n_dev // tp)
+        if cfg.train_batch_size % dp:
+            dp = math.gcd(dp, cfg.train_batch_size)
+            logger.info(
+                "train_batch_size %d not divisible by dp; shrinking mesh to "
+                "dp=%d x tp=%d (%d/%d devices in use)",
+                cfg.train_batch_size, dp, tp, dp * tp, n_dev,
+            )
+        self.mesh = make_mesh(dp=dp, tp=tp, devices=jax.devices()[: dp * tp])
         tp = cfg.mesh_tp > 1
         self.unet_params = shard_params(self.bundle.unet_params, self.mesh, tp)
         self.vae_params = shard_params(self.bundle.vae_params, self.mesh, False)
@@ -276,6 +325,7 @@ class Trainer:
         )
 
         step_config = StepConfig(
+            train_unet=self.train_unet,
             prediction_type=spec.scheduler.prediction_type,
             vae_scaling=spec.vae.scaling_factor,
             kpl_weight=cfg.kpl_weight,
@@ -293,7 +343,7 @@ class Trainer:
         raw_step = make_train_step(
             text_encoder_apply=self.text_encoder.apply,
             frozen_text_encoder_apply=self.frozen_te.apply,
-            unet_apply=self.bundle.unet.apply,
+            unet_apply=self.unet.apply,
             vae_encode_moments=lambda p, x: self.bundle.vae.apply(
                 p, x, method="encode_moments"
             ),
@@ -302,11 +352,18 @@ class Trainer:
             config=step_config,
             null_embedding=self.null_embedding,
         )
-        self.frozen = {
-            "unet": self.unet_params,
-            "vae": self.vae_params,
-            "te": self.frozen_te_params,
-        }
+        if self.train_unet:
+            self.frozen = {
+                "unet_base": self.unet_base_flat,
+                "vae": self.vae_params,
+                "te": self.frozen_te_params,
+            }
+        else:
+            self.frozen = {
+                "unet": self.unet_params,
+                "vae": self.vae_params,
+                "te": self.frozen_te_params,
+            }
         rep = replicated(self.mesh)
         self.train_step = jax.jit(
             raw_step,
@@ -315,10 +372,15 @@ class Trainer:
         )
 
         # ---- state (+resume, :959-981) ----
-        opt_state = jax.jit(self.optimizer.init)(self.te_params)
+        trainable = (
+            {"te": self.te_params, "unet_lora": self.unet_lora_flat}
+            if self.train_unet
+            else self.te_params
+        )
+        opt_state = jax.jit(self.optimizer.init)(trainable)
         self.state = TextBoostTrainState(
             step=jnp.zeros((), jnp.int32),
-            te_params=self.te_params,
+            te_params=trainable,
             opt_state=opt_state,
             rng=jax.random.PRNGKey(cfg.seed),
         )
@@ -390,6 +452,9 @@ class Trainer:
         return {"wall_time_s": wall, "steps": step, **last_metrics}
 
     # ------------------------------------------------------------------
+    def _te_tree(self):
+        return self.state.te_params["te"] if self.train_unet else self.state.te_params
+
     def save(self, step: int) -> str:
         return save_checkpoint(
             self.config.output_dir,
@@ -410,30 +475,38 @@ class Trainer:
         out = self.config.output_dir
         if not self.config.skip_save_text_encoder and self.config.lora_rank > 0:
             export_lora_adapter(
-                self.state.te_params,
+                self._te_tree(),
                 os.path.join(out, "text_encoder"),
                 rank=self.config.lora_rank,
                 base_model_name=self.config.pretrained_model_name_or_path
                 or self.bundle.spec.name,
             )
         emb = np.asarray(
-            self.state.te_params["params"]["token_embedding"], np.float32
+            self._te_tree()["params"]["token_embedding"], np.float32
         )
         export_token_embeddings(emb, self.token_to_id, out)
 
     # ------------------------------------------------------------------
     def make_pipeline(self) -> TextToImagePipeline:
+        if self.train_unet:
+            from ..lora.partition import merge_lora
+
+            unet_params = merge_lora(
+                self.frozen["unet_base"], self.state.te_params["unet_lora"]
+            )
+        else:
+            unet_params = self.unet_params
         return TextToImagePipeline(
             self.bundle.spec,
             self.tokenizer,
-            self.state.te_params,
-            self.unet_params,
+            self._te_tree(),
+            unet_params,
             self.vae_params,
             null_embedding=self.null_embedding,
             fixed_special=True,
             lora_rank=self.config.lora_rank,
             vocab_size=int(
-                self.state.te_params["params"]["token_embedding"].shape[0]
+                self._te_tree()["params"]["token_embedding"].shape[0]
             ),
             dtype=self.weight_dtype,
         )
