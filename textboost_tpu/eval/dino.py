@@ -46,6 +46,10 @@ class _Block(nn.Module):
     def __call__(self, x):
         cfg = self.config
         ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name=name)
+        # DINOv2 uses LayerScale on both residual branches (gamma init 1.0
+        # keeps random-init behavior neutral; real weights load tiny gammas).
+        ls1 = self.param("ls1", nn.initializers.ones, (cfg.hidden_size,))
+        ls2 = self.param("ls2", nn.initializers.ones, (cfg.hidden_size,))
         h = ln("norm1")(x)
         qkv = nn.Dense(cfg.hidden_size * 3, dtype=self.dtype, name="qkv")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -53,11 +57,15 @@ class _Block(nn.Module):
         o = multi_head_attention(
             split_heads(q, heads), split_heads(k, heads), split_heads(v, heads)
         )
-        x = x + nn.Dense(cfg.hidden_size, dtype=self.dtype, name="proj")(merge_heads(o))
+        x = x + ls1.astype(self.dtype) * nn.Dense(
+            cfg.hidden_size, dtype=self.dtype, name="proj"
+        )(merge_heads(o))
         h = ln("norm2")(x)
         h = nn.Dense(cfg.hidden_size * cfg.mlp_ratio, dtype=self.dtype, name="fc1")(h)
         h = jax.nn.gelu(h, approximate=False)
-        return x + nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")(h)
+        return x + ls2.astype(self.dtype) * nn.Dense(
+            cfg.hidden_size, dtype=self.dtype, name="fc2"
+        )(h)
 
 
 class ViTFeatures(nn.Module):

@@ -1,0 +1,185 @@
+"""Metric-scorer weight conversion: openai CLIP + DINOv2 torch -> Flax.
+
+Counterpart of the reference's metric model loading
+(eval_dreambooth.py:358-366 `clip.load("ViT-L/14@336px")`, :459-461
+`torch.hub.load dinov2_vitl14`): converts locally-available torch
+checkpoints (transformers CLIPModel layout; facebookresearch DINOv2
+layout) into the native scorer models.  Without local weights the scorers
+run random-init (self-consistent scores only).
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict
+
+import numpy as np
+
+import flax
+
+from .clip_scorer import CLIPConfig, CLIPScorer
+from .dino import DINOScorer, ViTConfig
+
+
+def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    if os.path.isdir(path):
+        from ..models.convert import _load_torch_dir
+
+        return _load_torch_dir(path)
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=True)
+    sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def _t(arr):  # torch Linear -> flax kernel
+    return np.asarray(arr, np.float32).T
+
+
+def convert_clip_model(sd: Dict[str, np.ndarray], flax_params) -> Dict:
+    """transformers CLIPModel state dict -> CLIPScorer param tree."""
+    from ..models.convert import convert_text_encoder
+
+    params = flax.traverse_util.flatten_dict(flax_params["params"])
+    out = {}
+
+    # Text tower reuses the text-encoder converter.
+    text_tree = {"params": flax.traverse_util.unflatten_dict({
+        k[1:]: v for k, v in params.items() if k[0] == "text_model"
+    })}
+    text_converted = convert_text_encoder(sd, text_tree)
+    for k, v in flax.traverse_util.flatten_dict(text_converted["params"]).items():
+        out[("text_model",) + k] = v
+
+    # Vision tower.
+    for k, v in params.items():
+        if k[0] != "vision_model":
+            continue
+        rest = k[1:]
+        leaf = rest[-1]
+        wb = {"kernel": "weight", "bias": "bias", "scale": "weight"}.get(leaf)
+        if rest[0] == "patch_embedding":
+            arr = np.asarray(
+                sd["vision_model.embeddings.patch_embedding.weight"], np.float32
+            ).transpose(2, 3, 1, 0)
+        elif rest[0] == "class_embedding":
+            arr = np.asarray(sd["vision_model.embeddings.class_embedding"], np.float32)
+        elif rest[0] == "position_embedding":
+            arr = np.asarray(
+                sd["vision_model.embeddings.position_embedding.weight"], np.float32
+            )
+        elif rest[0] in ("pre_layrnorm", "post_layernorm"):
+            arr = np.asarray(sd[f"vision_model.{rest[0]}.{wb}"], np.float32)
+        else:
+            m = re.match(r"layers_(\d+)$", rest[0])
+            if not m:
+                raise KeyError(f"unmapped vision leaf {k}")
+            i = m.group(1)
+            sub = rest[1]
+            torch_sub = {
+                "q_proj": "self_attn.q_proj", "k_proj": "self_attn.k_proj",
+                "v_proj": "self_attn.v_proj", "out_proj": "self_attn.out_proj",
+                "layer_norm1": "layer_norm1", "layer_norm2": "layer_norm2",
+                "fc1": "mlp.fc1", "fc2": "mlp.fc2",
+            }[sub]
+            arr = np.asarray(
+                sd[f"vision_model.encoder.layers.{i}.{torch_sub}.{wb}"], np.float32
+            )
+            if leaf == "kernel":
+                arr = arr.T
+        if tuple(arr.shape) != tuple(np.shape(v)):
+            raise ValueError(f"{k}: {arr.shape} vs {np.shape(v)}")
+        out[k] = arr
+
+    out[("text_projection", "kernel")] = _t(sd["text_projection.weight"])
+    out[("visual_projection", "kernel")] = _t(sd["visual_projection.weight"])
+    return {"params": flax.traverse_util.unflatten_dict(out)}
+
+
+def convert_dinov2(sd: Dict[str, np.ndarray], flax_params) -> Dict:
+    """facebookresearch DINOv2 checkpoint -> ViTFeatures param tree."""
+    params = flax.traverse_util.flatten_dict(flax_params["params"])
+    out = {}
+    for k, v in params.items():
+        leaf = k[-1]
+        if k[0] == "patch_embed":
+            arr = np.asarray(sd[f"patch_embed.proj.{_wb(leaf)}"], np.float32)
+            if leaf == "kernel":
+                arr = arr.transpose(2, 3, 1, 0)
+        elif k[0] == "cls_token":
+            arr = np.asarray(sd["cls_token"], np.float32).reshape(-1)
+        elif k[0] == "register_tokens":
+            arr = np.asarray(sd["register_tokens"], np.float32)[0]
+        elif k[0] == "pos_embed":
+            arr = np.asarray(sd["pos_embed"], np.float32)[0]
+        elif k[0] == "norm":
+            arr = np.asarray(sd[f"norm.{_nb(leaf)}"], np.float32)
+        else:
+            m = re.match(r"blocks_(\d+)$", k[0])
+            if not m:
+                raise KeyError(f"unmapped DINO leaf {k}")
+            i = m.group(1)
+            sub = k[1]
+            if sub in ("ls1", "ls2"):
+                arr = np.asarray(sd[f"blocks.{i}.{sub}.gamma"], np.float32)
+            elif sub in ("norm1", "norm2"):
+                arr = np.asarray(sd[f"blocks.{i}.{sub}.{_nb(leaf)}"], np.float32)
+            elif sub == "qkv":
+                arr = np.asarray(sd[f"blocks.{i}.attn.qkv.{_wb(leaf)}"], np.float32)
+                if leaf == "kernel":
+                    arr = arr.T
+            elif sub == "proj":
+                arr = np.asarray(sd[f"blocks.{i}.attn.proj.{_wb(leaf)}"], np.float32)
+                if leaf == "kernel":
+                    arr = arr.T
+            elif sub in ("fc1", "fc2"):
+                arr = np.asarray(sd[f"blocks.{i}.mlp.{sub}.{_wb(leaf)}"], np.float32)
+                if leaf == "kernel":
+                    arr = arr.T
+            else:
+                raise KeyError(f"unmapped DINO leaf {k}")
+        if tuple(np.shape(arr)) != tuple(np.shape(v)):
+            raise ValueError(f"{k}: {np.shape(arr)} vs {np.shape(v)}")
+        out[k] = arr
+    return {"params": flax.traverse_util.unflatten_dict(out)}
+
+
+def _wb(leaf: str) -> str:
+    return {"kernel": "weight", "bias": "bias"}[leaf]
+
+
+def _nb(leaf: str) -> str:
+    return {"scale": "weight", "bias": "bias"}[leaf]
+
+
+def load_scorers(weights_dir: str):
+    """weights_dir/{clip,dino} torch checkpoints -> (CLIPScorer, DINOScorer)."""
+    import jax
+
+    clip_cfg = CLIPConfig()
+    clip_scorer = CLIPScorer(clip_cfg)
+    clip_path = os.path.join(weights_dir, "clip")
+    if os.path.exists(clip_path):
+        sd = _load_state_dict(clip_path)
+        clip_scorer = CLIPScorer(
+            clip_cfg, params=convert_clip_model(sd, clip_scorer.params)
+        )
+    else:
+        print(f"WARNING: {clip_path} missing; CLIP scorer is random-init.")
+
+    dino_cfg = ViTConfig()
+    dino_scorer = DINOScorer(dino_cfg)
+    dino_path = os.path.join(weights_dir, "dino")
+    if os.path.exists(dino_path):
+        sd = _load_state_dict(dino_path)
+        dino_scorer = DINOScorer(
+            dino_cfg, params=convert_dinov2(sd, dino_scorer.params)
+        )
+    else:
+        print(f"WARNING: {dino_path} missing; DINO scorer is random-init.")
+    return clip_scorer, dino_scorer

@@ -101,6 +101,7 @@ class TrainConfig:
     mesh_tp: int = 1
     attention_impl: str = "auto"
     profile_dir: Optional[str] = None
+    null_embedding_path: Optional[str] = None  # reference .pt asset format
 
     def validate(self):
         if self.with_image_prior:

@@ -179,7 +179,27 @@ class Trainer:
         else:
             self.unet = self.bundle.unet
 
-        # ---- null embedding (:649): regenerated natively ----
+        # ---- null embedding (:649) ----
+        # Reference loads a cached torch asset (assets/null_emb_sd21base.pt);
+        # we accept that format via --null_embedding_path but default to
+        # regenerating it natively from the frozen encoder (correct for any
+        # base model, unlike the hardcoded sd21base asset).
+        if getattr(cfg, "null_embedding_path", None):
+            import torch
+
+            tensor = torch.load(
+                cfg.null_embedding_path, map_location="cpu", weights_only=True
+            )
+            self.null_embedding = jnp.asarray(
+                np.asarray(tensor.float().numpy(), np.float32)
+            )
+            assert self.null_embedding.shape == (
+                spec.text_encoder.max_position_embeddings,
+                spec.text_encoder.hidden_size,
+            ), f"null embedding shape {self.null_embedding.shape} mismatch"
+            ids = None
+        else:
+            ids = None
         ids = jnp.asarray(
             np.asarray(
                 self.tokenizer(
@@ -188,8 +208,9 @@ class Trainer:
                 np.int32,
             )
         )
-        hidden, _ = jax.jit(self.frozen_te.apply)(self.frozen_te_params, ids)
-        self.null_embedding = jnp.asarray(np.asarray(hidden[0], np.float32))
+        if not getattr(cfg, "null_embedding_path", None):
+            hidden, _ = jax.jit(self.frozen_te.apply)(self.frozen_te_params, ids)
+            self.null_embedding = jnp.asarray(np.asarray(hidden[0], np.float32))
 
         # ---- schedule ----
         self.schedule = NoiseSchedule.create(
@@ -420,17 +441,32 @@ class Trainer:
         train_iter = iter(self.train_loader)
         prior_iter = iter(self.prior_loader)
 
+        from ..utils.profiling import StepTimer, device_memory_stats, trace
+
         self._log_metrics(0, {"max_norm": 0.0, "mean_norm": self.mean_norm})
         step = self.start_step
         start_time = time.perf_counter()
+        timer = StepTimer()
         last_metrics: Dict[str, float] = {}
+        # Optional jax.profiler trace over steps [5, 15) of this run.
+        profile_span = (5, 15) if cfg.profile_dir else None
         while step < cfg.max_train_steps:
+            if profile_span and step - self.start_step == profile_span[0]:
+                jax.profiler.start_trace(cfg.profile_dir)
             batch = self._device_batch(next(train_iter), next(prior_iter))
             self.state, metrics = self.train_step(self.state, batch, self.frozen)
             step += 1
+            if profile_span and step - self.start_step == profile_span[1]:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profile_span = None
 
+            timing = timer.tick()
             if step % 10 == 0 or step == cfg.max_train_steps:
                 last_metrics = {k: float(v) for k, v in metrics.items()}
+                last_metrics.update(timing)
+                if step % 100 == 0:
+                    last_metrics.update(device_memory_stats())
                 self._log_metrics(step, last_metrics)
 
             if step % cfg.checkpointing_steps == 0 and jax.process_index() == 0:
