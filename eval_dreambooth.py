@@ -160,8 +160,14 @@ def compute_metrics(args, outdir):
         from textboost_tpu.eval.scorer_weights import load_scorers
 
         clip_scorer, dino_scorer = load_scorers(args.scorer_weights)
+    vqa_scorer = None
     if "vqa" in args.metric:
-        print("WARNING: VQAScore (clip-flant5-xxl) unavailable offline; skipping.")
+        from textboost_tpu.eval.vqa import vqa_available, VQAScorer
+
+        if vqa_available():
+            vqa_scorer = VQAScorer()
+        else:
+            print("WARNING: VQAScore (clip-flant5-xxl) unavailable offline; skipping.")
     tokenizer = load_tokenizer(None)
 
     model_name = os.path.basename(args.path.rstrip("/"))
@@ -172,13 +178,16 @@ def compute_metrics(args, outdir):
         writer = csv.writer(f)
         if write_header:
             writer.writerow(
-                ["model", "seed", "clip-t", "clip-i", "clip-i-unseen", "dino", "dino-unseen"]
+                ["model", "seed", "clip-t", "clip-i", "clip-i-unseen",
+                 "dino", "dino-unseen", "vqa"]
             )
         for seed in args.seeds:
             seed_dir = os.path.join(outdir, f"seed{seed}")
             if not os.path.isdir(seed_dir):
                 continue
-            clip_t_all, clip_i_all, clip_i_un, dino_all, dino_un = [], [], [], [], []
+            clip_t_all, clip_i_all, clip_i_un, dino_all, dino_un, vqa_all = (
+                [], [], [], [], [], []
+            )
             for instance in sorted(os.listdir(seed_dir)):
                 gen_dir = os.path.join(seed_dir, instance)
                 images, prompts = _load_dir_images(gen_dir)
@@ -187,6 +196,8 @@ def compute_metrics(args, outdir):
                 gen = np.stack(images)
                 if "clip-t" in args.metric:
                     clip_t_all.append(clip_scorer.clip_t(tokenizer, gen, prompts))
+                if vqa_scorer is not None:
+                    vqa_all.append(vqa_scorer.score(list(gen), prompts))
                 train_dir = os.path.join(args.train_dir, instance)
                 val_dir = os.path.join(args.val_dir, instance)
                 if "clip-i" in args.metric and os.path.isdir(train_dir):
@@ -208,7 +219,7 @@ def compute_metrics(args, outdir):
             mean = lambda xs: round(float(np.mean(xs)), 4) if xs else ""
             writer.writerow(
                 [model_name, seed, mean(clip_t_all), mean(clip_i_all),
-                 mean(clip_i_un), mean(dino_all), mean(dino_un)]
+                 mean(clip_i_un), mean(dino_all), mean(dino_un), mean(vqa_all)]
             )
             print(f"seed {seed}: clip-t={mean(clip_t_all)} clip-i={mean(clip_i_all)} "
                   f"dino={mean(dino_all)}")

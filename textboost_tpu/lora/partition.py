@@ -174,14 +174,18 @@ def make_optimizer(
     beta2: float = 0.999,
     weight_decay: float = 1e-2,
     eps: float = 1e-8,
+    accumulate_steps: int = 1,
 ) -> optax.GradientTransformation:
     """AdamW with two LR groups (embeddings @ emb_lr, LoRA @ lr) and frozen
-    everything-else (train_textboost.py:829-854)."""
+    everything-else (train_textboost.py:829-854).  accumulate_steps > 1
+    wraps in optax.MultiSteps (gradient accumulation — supported natively
+    here; the reference forbids it for multi-process two-model training,
+    train_textboost.py:573-577)."""
     labels = param_labels(params)
     adamw = lambda lr: optax.adamw(
         lr, b1=beta1, b2=beta2, eps=eps, weight_decay=weight_decay
     )
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {
             EMB_LABEL: adamw(emb_learning_rate),
             LORA_LABEL: adamw(learning_rate),
@@ -189,6 +193,9 @@ def make_optimizer(
         },
         labels,
     )
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx
 
 
 def lr_schedule(name: str, base_lr: float, warmup_steps: int, total_steps: int):

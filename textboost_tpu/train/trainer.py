@@ -53,12 +53,6 @@ class Trainer:
         os.makedirs(config.output_dir, exist_ok=True)
         self._setup_logging()
         set_default_attention_impl(config.attention_impl)
-        if config.gradient_accumulation_steps != 1:
-            raise NotImplementedError(
-                "gradient_accumulation_steps > 1 is not supported (the reference "
-                "forbids it for two-model multi-process training as well; "
-                "train_textboost.py:573-577)."
-            )
         self._setup()
 
     # ------------------------------------------------------------------
@@ -75,11 +69,31 @@ class Trainer:
         self._metrics_file = open(
             os.path.join(self.config.output_dir, "metrics.jsonl"), "a"
         )
+        # Optional tracker (train_textboost.py:267-274: tensorboard default).
+        self._tb = None
+        if self.config.report_to == "tensorboard":
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(
+                    os.path.join(self.config.output_dir, self.config.logging_dir)
+                )
+            except Exception as e:  # noqa: BLE001 — tracker is best-effort
+                logger.info("tensorboard unavailable (%s); JSONL only", e)
+        elif self.config.report_to not in (None, "none", "jsonl"):
+            logger.info(
+                "report_to=%s not available in this build; using JSONL",
+                self.config.report_to,
+            )
 
     def _log_metrics(self, step: int, scalars: Dict[str, float]):
         rec = {"step": step, **{k: float(v) for k, v in scalars.items()}}
         self._metrics_file.write(json.dumps(rec) + "\n")
         self._metrics_file.flush()
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k != "step":
+                    self._tb.add_scalar(k, v, step)
 
     # ------------------------------------------------------------------
     def _setup(self):
@@ -252,6 +266,7 @@ class Trainer:
             beta2=cfg.adam_beta2,
             weight_decay=cfg.adam_weight_decay,
             eps=cfg.adam_epsilon,
+            accumulate_steps=cfg.gradient_accumulation_steps,
         )
 
         n_train = count_params(trainable_template, trainable_mask(trainable_template))
@@ -450,11 +465,16 @@ class Trainer:
         last_metrics: Dict[str, float] = {}
         # Optional jax.profiler trace over steps [5, 15) of this run.
         profile_span = (5, 15) if cfg.profile_dir else None
+        accum = max(cfg.gradient_accumulation_steps, 1)
         while step < cfg.max_train_steps:
             if profile_span and step - self.start_step == profile_span[0]:
                 jax.profiler.start_trace(cfg.profile_dir)
-            batch = self._device_batch(next(train_iter), next(prior_iter))
-            self.state, metrics = self.train_step(self.state, batch, self.frozen)
+            # With accumulation, each counted step = `accum` micro-batches
+            # (the optimizer applies on the k-th; sync_gradients semantics,
+            # train_textboost.py:1128,1153).
+            for _ in range(accum):
+                batch = self._device_batch(next(train_iter), next(prior_iter))
+                self.state, metrics = self.train_step(self.state, batch, self.frozen)
             step += 1
             if profile_span and step - self.start_step == profile_span[1]:
                 jax.block_until_ready(metrics["loss"])
@@ -574,5 +594,9 @@ class Trainer:
         grid = np.concatenate(list(images), axis=1)
         path = os.path.join(cfg.output_dir, f"validation_{step}.jpg")
         Image.fromarray(grid).save(path)
+        if self._tb is not None:
+            self._tb.add_image(
+                "validation", grid.transpose(2, 0, 1), step
+            )
         logger.info("Wrote validation grid %s", path)
         return path

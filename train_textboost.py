@@ -19,6 +19,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 
 
 def main(argv=None):
+    # Multi-host pods: every host runs this same entry; JAX coordinates via
+    # the cluster environment (the torchrun/c10d counterpart —
+    # run_textboost_db.py:106-111 in the reference).
+    if os.environ.get("TEXTBOOST_MULTIHOST") == "1":
+        import jax
+
+        jax.distributed.initialize()
+
     from textboost_tpu.train import Trainer, parse_args
 
     config = parse_args(argv)
