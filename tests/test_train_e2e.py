@@ -177,3 +177,23 @@ def test_unsupported_unet_params_raise(instance_dir, tmp_path):
                 instance_dir, str(tmp_path / "x"), unet_params_to_train="all"
             )
         )
+
+
+def test_gradient_accumulation(instance_dir, tmp_path):
+    from textboost_tpu.train import Trainer
+
+    out = str(tmp_path / "accum_run")
+    trainer = Trainer(
+        _config(
+            instance_dir,
+            out,
+            max_train_steps=2,
+            gradient_accumulation_steps=2,
+            checkpointing_steps=10,
+        )
+    )
+    result = trainer.train()
+    assert result["steps"] == 2 and np.isfinite(result["loss"])
+    # Two optimizer applications happened (params moved).
+    emb = np.asarray(trainer.state.te_params["params"]["token_embedding"])
+    assert np.abs(emb[trainer.first_added_id:]).sum() > 0

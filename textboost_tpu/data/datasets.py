@@ -64,9 +64,11 @@ def crop_with_offsets(
 
 
 def to_model_array(image: Image.Image) -> np.ndarray:
-    """uint8 PIL -> float32 NHWC in [-1, 1] (Normalize(0.5, 0.5))."""
-    arr = np.asarray(image, dtype=np.float32) / 255.0
-    return (arr - 0.5) / 0.5
+    """uint8 PIL -> float32 NHWC in [-1, 1] (Normalize(0.5, 0.5)); uses the
+    native C++ one-pass LUT kernel when the toolchain is available."""
+    from .native import normalize_u8
+
+    return normalize_u8(np.asarray(image, dtype=np.uint8))
 
 
 class TextBoostDataset:
