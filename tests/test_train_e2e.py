@@ -197,3 +197,31 @@ def test_gradient_accumulation(instance_dir, tmp_path):
     # Two optimizer applications happened (params moved).
     emb = np.asarray(trainer.state.te_params["params"]["token_embedding"])
     assert np.abs(emb[trainer.first_added_id:]).sum() > 0
+
+
+def test_with_image_prior(instance_dir, tmp_path):
+    """Prior preservation end-to-end: generate class images from the base
+    pipeline, then train with the split-batch prior loss."""
+    from textboost_tpu.train import Trainer
+
+    class_dir = str(tmp_path / "class_imgs")
+    out = str(tmp_path / "prior_run")
+    trainer = Trainer(
+        _config(
+            instance_dir,
+            out,
+            max_train_steps=1,
+            checkpointing_steps=10,
+            with_image_prior=True,
+            class_data_dir=class_dir,
+            class_token="dog",
+            num_prior_images=2,
+            sample_batch_size=2,
+        )
+    )
+    # Prior images were generated with idx-hash-caption filenames.
+    files = os.listdir(class_dir)
+    assert len(files) == 2
+    assert all(len(f.split("-")) >= 3 and f.endswith(".jpg") for f in files)
+    result = trainer.train()
+    assert np.isfinite(result["loss"]) and result["prior_loss"] >= 0

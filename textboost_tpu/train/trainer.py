@@ -274,6 +274,30 @@ class Trainer:
         print(f"Trainable params: {n_train/1e6:.3f}M "
               f"(LoRA r={cfg.lora_rank} + {len(self.token_to_id)} token embeddings)")
 
+        # ---- prior image generation (utils.py:50-114) ----
+        if cfg.with_image_prior and jax.process_index() == 0:
+            from .prior_generation import generate_prior_images
+
+            base_pipe = TextToImagePipeline(
+                spec,
+                self.tokenizer,
+                self.bundle.te_params,
+                self.bundle.unet_params,
+                self.bundle.vae_params,
+                lora_rank=cfg.lora_rank,
+                dtype=dtype,
+            )
+            made = generate_prior_images(
+                base_pipe,
+                cfg.class_data_dir,
+                cfg.class_token,
+                cfg.num_prior_images,
+                sample_batch_size=cfg.sample_batch_size,
+                seed=cfg.seed,
+            )
+            if made:
+                logger.info("Generated %d class prior images", made)
+
         # ---- data (:857-909) ----
         augment_pipe = None
         if cfg.augment.lower() in ("pda", "paug"):
