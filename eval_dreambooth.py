@@ -117,14 +117,19 @@ def generate(args):
                     p.format(identifier)
                     for p in prompt_list[i : i + args.batch_size]
                 ]
+                # Pad the tail chunk to a full batch so every chunk reuses
+                # ONE compiled program (compile cost on TPU >> the wasted
+                # compute of a few padded prompts).
+                n_real = len(prompts)
+                padded = prompts + [prompts[-1]] * (args.batch_size - n_real)
                 images = pipeline(
-                    prompts,
+                    padded,
                     num_inference_steps=args.steps,
                     guidance_scale=7.5,
                     latents=latent,
                     height=size * 8,
                     width=size * 8,
-                )
+                )[:n_real]
                 for prompt, image in zip(prompts, images):
                     fname = f"{prompt.replace(identifier, cls).replace(' ', '_')}.png"
                     Image.fromarray(image).save(os.path.join(dst, fname))
