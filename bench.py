@@ -21,6 +21,13 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 
+
+def _platform_override():
+    from textboost_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
+
+
 TARGET_STEPS_PER_SEC = 250.0 / 120.0  # north-star pace
 
 
@@ -159,6 +166,7 @@ def bench_sample(args):
 
 
 def main():
+    _platform_override()
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode", choices=["train", "sample"], default="train")
     parser.add_argument("--preset", default="sd15")

@@ -17,6 +17,13 @@ import os
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 
+
+def _platform_override():
+    from textboost_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
+
+
 import numpy as np
 
 
@@ -232,6 +239,7 @@ def compute_metrics(args, outdir):
 
 
 def main():
+    _platform_override()
     args = parse_args()
     outdir = generate(args)
     compute_metrics(args, outdir)

@@ -10,6 +10,13 @@ import os
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 
+
+def _platform_override():
+    from textboost_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
+
+
 STABLE_DIFFUSION = {
     "sd14": "sd14",
     "sd15": "sd15",
@@ -44,6 +51,7 @@ def parse_args():
 
 
 def main(args):
+    _platform_override()
     import numpy as np
     from PIL import Image
 

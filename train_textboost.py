@@ -18,7 +18,15 @@ import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 
 
+def _platform_override():
+    from textboost_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
+
+
+
 def main(argv=None):
+    _platform_override()
     # Multi-host pods: every host runs this same entry; JAX coordinates via
     # the cluster environment (the torchrun/c10d counterpart —
     # run_textboost_db.py:106-111 in the reference).
