@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import io
 import math
-from typing import Callable, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 import PIL.Image

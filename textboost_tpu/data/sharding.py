@@ -9,7 +9,7 @@ later via `make_array_from_process_local_data`.
 """
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

@@ -11,14 +11,14 @@ scores are then only self-consistent, not comparable to the paper.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.clip import ACT, CLIPEncoderLayer
+from ..models.clip import ACT
 from ..models.configs import CLIPTextConfig
 
 

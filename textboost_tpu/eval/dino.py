@@ -8,8 +8,6 @@ metric then only measures self-consistency).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

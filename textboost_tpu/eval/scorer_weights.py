@@ -159,8 +159,6 @@ def _nb(leaf: str) -> str:
 
 def load_scorers(weights_dir: str):
     """weights_dir/{clip,dino} torch checkpoints -> (CLIPScorer, DINOScorer)."""
-    import jax
-
     clip_cfg = CLIPConfig()
     clip_scorer = CLIPScorer(clip_cfg)
     clip_path = os.path.join(weights_dir, "clip")

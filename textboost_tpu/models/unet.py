@@ -9,8 +9,6 @@ flow to the text encoder through every cross-attention layer).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

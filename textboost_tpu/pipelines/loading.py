@@ -18,7 +18,6 @@ from ..data.tokenizer import load_tokenizer
 from ..lora.peft_io import import_lora_adapter, import_token_embeddings
 from ..models import CLIPTextModel
 from ..models.pretrained import load_models
-from ..train.checkpoint import latest_checkpoint
 from .text_to_image import TextToImagePipeline
 
 

@@ -16,8 +16,6 @@ import os
 from pathlib import Path
 from typing import Optional
 
-import numpy as np
-
 from ..data.datasets import PromptDataset
 
 
@@ -48,7 +46,6 @@ def generate_prior_images(
     captioner = None
     if blip_model_path:
         try:
-            import torch
             from transformers import BlipForConditionalGeneration, BlipProcessor
 
             processor = BlipProcessor.from_pretrained(blip_model_path)

@@ -11,13 +11,12 @@ import json
 import logging
 import os
 import time
-from typing import Dict, List, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-import flax
 
 from ..data import (
     InstructPix2PixDataset,
@@ -480,7 +479,7 @@ class Trainer:
         train_iter = iter(self.train_loader)
         prior_iter = iter(self.prior_loader)
 
-        from ..utils.profiling import StepTimer, device_memory_stats, trace
+        from ..utils.profiling import StepTimer, device_memory_stats
 
         self._log_metrics(0, {"max_norm": 0.0, "mean_norm": self.mean_norm})
         step = self.start_step
