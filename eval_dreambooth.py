@@ -49,6 +49,8 @@ def parse_args():
     parser.add_argument("--lora-rank", type=int, default=4)
     parser.add_argument("--scorer-weights", type=str, default=None,
                         help="dir with converted CLIP/DINO scorer weights")
+    parser.add_argument("--null-emb-path", type=str, default=None,
+                        help="reference-format null/start embedding .pt asset")
     return parser.parse_args()
 
 
@@ -94,7 +96,8 @@ def generate(args):
             print(f"[skip] missing instance dir: {model_path}")
             continue
         pipeline = load_textboost_pipeline(
-            model_path, model, checkpoint=args.checkpoint, lora_rank=args.lora_rank
+            model_path, model, checkpoint=args.checkpoint, lora_rank=args.lora_rank,
+            null_embedding_path=args.null_emb_path,
         )
         # Multi-vector identifier expansion (eval_dreambooth.py:329-337).
         files = os.listdir(

@@ -225,3 +225,54 @@ def test_with_image_prior(instance_dir, tmp_path):
     assert all(len(f.split("-")) >= 3 and f.endswith(".jpg") for f in files)
     result = trainer.train()
     assert np.isfinite(result["loss"]) and result["prior_loss"] >= 0
+
+
+def test_multi_concept_training(instance_dir, tmp_path):
+    """--concepts_list JSON with two concepts (train_textboost.py:602-615)."""
+    import json as _json
+
+    from textboost_tpu.train import Trainer
+
+    inst2 = tmp_path / "inst2"
+    inst2.mkdir()
+    Image.fromarray(
+        np.random.RandomState(5).randint(0, 255, (150, 150, 3), dtype=np.uint8)
+    ).save(inst2 / "cat.jpg")
+
+    concepts = [
+        {
+            "instance_token": "<dog>",
+            "placeholder_token": "<dog>",
+            "initializer_token": "dog",
+            "instance_data_dir": instance_dir,
+        },
+        {
+            "instance_token": "<cat>",
+            "placeholder_token": "<cat>",
+            "initializer_token": "cat",
+            "instance_data_dir": str(inst2),
+        },
+    ]
+    cfile = tmp_path / "concepts.json"
+    cfile.write_text(_json.dumps(concepts))
+
+    out = str(tmp_path / "multi_run")
+    trainer = Trainer(
+        _config(
+            instance_dir,
+            out,
+            max_train_steps=1,
+            checkpointing_steps=10,
+            concepts_list=str(cfile),
+            augment="none",
+            augment_inversion=False,
+        )
+    )
+    assert "<dog>" in trainer.token_to_id and "<cat>" in trainer.token_to_id
+    assert trainer.token_to_id["<dog>"] != trainer.token_to_id["<cat>"]
+    # Dataset holds images from both concepts.
+    assert len(trainer.train_loader.dataset) == 2
+    result = trainer.train()
+    assert np.isfinite(result["loss"])
+    assert os.path.isfile(os.path.join(out, "<dog>.bin"))
+    assert os.path.isfile(os.path.join(out, "<cat>.bin"))

@@ -29,6 +29,7 @@ def load_textboost_pipeline(
     lora_rank: int = 4,
     dtype=jnp.bfloat16,
     use_null_embedding: bool = True,
+    null_embedding_path: Optional[str] = None,
 ) -> TextToImagePipeline:
     model_path = model_path.rstrip("/")
     if checkpoint is not None:
@@ -69,9 +70,16 @@ def load_textboost_pipeline(
         print("Loaded text encoder LoRA weights")
 
     # Null embedding: frozen-encoder output of the empty prompt — the
-    # native regeneration of assets/null_emb_*.pt (eval_dreambooth.py:176-183).
+    # native regeneration of assets/null_emb_*.pt / start_emb_*.pt
+    # (eval_dreambooth.py:176-183).  A reference-format torch asset can be
+    # supplied explicitly instead.
     null_embedding = None
-    if use_null_embedding:
+    if null_embedding_path:
+        import torch
+
+        tensor = torch.load(null_embedding_path, map_location="cpu", weights_only=True)
+        null_embedding = np.asarray(tensor.float().numpy(), np.float32)
+    elif use_null_embedding:
         frozen = CLIPTextModel(spec.text_encoder, dtype=dtype)
         ids = jnp.asarray(
             np.asarray(
