@@ -512,7 +512,11 @@ class Trainer:
                     last_metrics.update(device_memory_stats())
                 self._log_metrics(step, last_metrics)
 
-            if step % cfg.checkpointing_steps == 0 and jax.process_index() == 0:
+            if (
+                cfg.checkpointing_steps
+                and step % cfg.checkpointing_steps == 0
+                and jax.process_index() == 0
+            ):
                 self.save(step)
             if (
                 cfg.validation_prompts
