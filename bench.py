@@ -91,9 +91,10 @@ def build_train_bench(preset: str, batch: int, resolution: int, lora_rank: int, 
     )
 
     batch_data = {
-        "pixel_values": jax.random.normal(
-            jax.random.PRNGKey(1), (batch, resolution, resolution, 3), jnp.float32
-        ) * 0.5,
+        "pixel_values": jax.random.randint(
+            jax.random.PRNGKey(1), (batch, resolution, resolution, 3), 0, 256,
+            dtype=jnp.int32,
+        ).astype(jnp.uint8),
         "input_ids": jnp.full((batch, 77), 49407, jnp.int32).at[:, 0].set(49406),
         "prior_input_ids": jnp.full((batch, 77), 49407, jnp.int32).at[:, 0].set(49406),
     }

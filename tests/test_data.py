@@ -164,12 +164,14 @@ def test_textboost_dataset(tmp_path):
     assert len(ds) == 2
     s = ds.__getitem__(0, rng=np.random.default_rng(0))
     assert s["image"].shape == (64, 64, 3)
-    assert s["image"].min() >= -1.0 and s["image"].max() <= 1.0
+    # uint8 on host; normalized to [-1,1] on-device inside the train step.
+    assert s["image"].dtype == np.uint8
     assert s["input_ids"].shape == (77,)
     assert "<dog>" in s["prompt"]
 
     batch = TextBoostDataset.collate([s, ds.__getitem__(1, rng=np.random.default_rng(1))])
     assert batch["pixel_values"].shape == (2, 64, 64, 3)
+    assert batch["pixel_values"].dtype == np.uint8
     assert batch["input_ids"].shape == (2, 77)
     assert batch["input_ids"].dtype == np.int32
 

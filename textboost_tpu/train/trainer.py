@@ -489,6 +489,7 @@ class Trainer:
         # Optional jax.profiler trace over steps [5, 15) of this run.
         profile_span = (5, 15) if cfg.profile_dir else None
         accum = max(cfg.gradient_accumulation_steps, 1)
+        next_batch = self._device_batch(next(train_iter), next(prior_iter))
         while step < cfg.max_train_steps:
             if profile_span and step - self.start_step == profile_span[0]:
                 jax.profiler.start_trace(cfg.profile_dir)
@@ -496,8 +497,11 @@ class Trainer:
             # (the optimizer applies on the k-th; sync_gradients semantics,
             # train_textboost.py:1128,1153).
             for _ in range(accum):
-                batch = self._device_batch(next(train_iter), next(prior_iter))
+                batch = next_batch
+                # Async dispatch: the step runs on device while the next
+                # batch's host->device transfer happens below.
                 self.state, metrics = self.train_step(self.state, batch, self.frozen)
+                next_batch = self._device_batch(next(train_iter), next(prior_iter))
             step += 1
             if profile_span and step - self.start_step == profile_span[1]:
                 jax.block_until_ready(metrics["loss"])
