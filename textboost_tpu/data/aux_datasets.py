@@ -31,6 +31,8 @@ def _fetch_text(url: str) -> str:
 
 
 def _fetch_image(url: str, cache_path: str):
+    if not url.startswith(("http://", "https://")):
+        return load_rgb(url)  # already-local image path
     if not os.path.isfile(cache_path):
         import urllib.request
 
