@@ -243,14 +243,42 @@ def _vae_leaf_to_torch(path: Tuple[str, ...]) -> Tuple[str, str]:
     return f"{prefix}.{part}.{_wb(leaf)}", "conv"
 
 
+# Hub checkpoints serialized by pre-0.17 diffusers use the legacy VAE
+# attention naming (query/key/value/proj_attn); diffusers remaps these at
+# load time, so we must too (the runwayml/sd15 vae file on the hub still
+# carries them).
+_VAE_LEGACY_ATTN = {
+    "to_q": "query",
+    "to_k": "key",
+    "to_v": "value",
+    "to_out.0": "proj_attn",
+}
+
+
+def _vae_lookup(state_dict: Dict[str, Array], key: str):
+    if key in state_dict:
+        return state_dict[key]
+    if ".attentions.0." in key:
+        prefix, suffix = key.rsplit(".", 1)  # suffix = weight|bias
+        base, sub = prefix.split(".attentions.0.")
+        legacy = _VAE_LEGACY_ATTN.get(sub)
+        if legacy is not None:
+            lk = f"{base}.attentions.0.{legacy}.{suffix}"
+            if lk in state_dict:
+                arr = np.asarray(state_dict[lk])
+                # legacy proj layers may be stored as [out,in,1,1] convs
+                if arr.ndim == 4 and arr.shape[2:] == (1, 1):
+                    arr = arr[:, :, 0, 0]
+                return arr
+    raise KeyError(f"missing torch key {key}")
+
+
 def convert_vae(state_dict: Dict[str, Array], flax_params) -> Dict:
     flat = flax.traverse_util.flatten_dict(flax_params["params"])
     out = {}
     for path, leaf in flat.items():
         key, kind = _vae_leaf_to_torch(path)
-        if key not in state_dict:
-            raise KeyError(f"missing torch key {key}")
-        out[path] = _convert_tensor(state_dict[key], kind, np.shape(leaf))
+        out[path] = _convert_tensor(_vae_lookup(state_dict, key), kind, np.shape(leaf))
     return {"params": flax.traverse_util.unflatten_dict(out)}
 
 
@@ -278,6 +306,64 @@ def flax_to_torch_state_dict(flax_params, module: str) -> Dict[str, Array]:
         elif kind == "conv" and arr.ndim == 2:
             arr = arr.T
         out[key] = np.ascontiguousarray(arr)
+    return out
+
+
+def torch_key_manifest(module: str, spec_name: str) -> Dict[str, Tuple[int, ...]]:
+    """Torch-side {key: shape} our conversion expects for a model family.
+
+    Built by `jax.eval_shape`-ing the Flax module (no parameter data is
+    materialized) and inverting the layout rules, so it reflects exactly the
+    keys `convert_*` will demand from a diffusers/transformers checkpoint.
+    Compared in tests against independently-authored manifests of the
+    published SD state dicts — the offline structural-parity check for the
+    modules whose reference stacks (diffusers UNet/VAE) aren't installed.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .clip import CLIPTextModel
+    from .configs import get_spec
+    from .unet import UNet2DCondition
+    from .vae import AutoencoderKL
+
+    spec = get_spec(spec_name)
+    if module == "text_encoder":
+        mod = CLIPTextModel(spec.text_encoder)
+        shapes = jax.eval_shape(mod.init, jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))
+        mapper = _leaf_to_torch
+    elif module == "unet":
+        mod = UNet2DCondition(spec.unet)
+        shapes = jax.eval_shape(
+            mod.init,
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, spec.unet.sample_size, spec.unet.sample_size, 4)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, spec.unet.cross_attention_dim)),
+        )
+        mapper = lambda p: _unet_leaf_to_torch(p, len(spec.unet.block_out_channels))
+    elif module == "vae":
+        mod = AutoencoderKL(spec.vae)
+        shapes = jax.eval_shape(
+            mod.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jax.random.PRNGKey(0)
+        )
+        mapper = _vae_leaf_to_torch
+    else:
+        raise ValueError(module)
+
+    out: Dict[str, Tuple[int, ...]] = {}
+    for path, leaf in flax.traverse_util.flatten_dict(shapes["params"]).items():
+        if path[-1] in ("lora_a", "lora_b"):
+            continue
+        key, kind = mapper(path)
+        shape = tuple(leaf.shape)
+        if kind == "linear" and len(shape) == 2:
+            shape = shape[::-1]
+        elif kind == "conv" and len(shape) == 4:
+            shape = (shape[3], shape[2], shape[0], shape[1])
+        elif kind == "conv" and len(shape) == 2:
+            shape = shape[::-1]
+        out[key] = shape
     return out
 
 
