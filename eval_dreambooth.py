@@ -49,6 +49,9 @@ def parse_args():
     parser.add_argument("--lora-rank", type=int, default=4)
     parser.add_argument("--scorer-weights", type=str, default=None,
                         help="dir with converted CLIP/DINO scorer weights")
+    parser.add_argument("--allow-random-scorers", action="store_true",
+                        help="explicitly permit random-init scorers (scores "
+                        "are self-consistent only, NOT paper-comparable)")
     parser.add_argument("--null-emb-path", type=str, default=None,
                         help="reference-format null/start embedding .pt asset")
     return parser.parse_args()
@@ -165,6 +168,15 @@ def compute_metrics(args, outdir):
 
     offline = args.scorer_weights is None
     if offline:
+        # Random-init scorer numbers must not masquerade as parity metrics
+        # (eval_dreambooth.py:353-543 always scores with real weights).
+        if not args.allow_random_scorers:
+            raise SystemExit(
+                "No --scorer-weights given. Metric scorers would be "
+                "random-init and the CSV meaningless as a parity number. "
+                "Convert real weights with convert_scorers.py, or pass "
+                "--allow-random-scorers for a self-consistency smoke run."
+            )
         print(
             "WARNING: no --scorer-weights; using random-init tiny scorers. "
             "Scores are self-consistent only, NOT paper-comparable."

@@ -52,12 +52,22 @@ class PrefetchLoader:
         self._queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._start_step = 0
+
+    def set_start_step(self, step: int) -> None:
+        """Resume support: offset the per-sample RNG keys and fast-forward
+        the index stream so a resumed run continues the data sequence
+        instead of replaying it from batch 0."""
+        assert self._thread is None, "set_start_step must precede iteration"
+        self._start_step = int(step)
 
     def _produce(self):
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         try:
             index_iter = iter(self.indices)
-            step = 0
+            step = self._start_step
+            for _ in range(self._start_step * self.batch_size):
+                next(index_iter)
             while not self._stop.is_set():
                 idxs = [next(index_iter) for _ in range(self.batch_size)]
 

@@ -101,8 +101,56 @@ def convert_clip_model(sd: Dict[str, np.ndarray], flax_params) -> Dict:
     return {"params": flax.traverse_util.unflatten_dict(out)}
 
 
+def hf_dinov2_to_fb(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """transformers Dinov2Model state dict -> facebookresearch hub layout.
+
+    Lets `convert_dinov2` consume either serialization (HF safetensors from
+    facebook/dinov2-* or the torch.hub .pth the reference loads at
+    eval_dreambooth.py:459-461)."""
+    out: Dict[str, np.ndarray] = {}
+    qkv: Dict[str, Dict[str, np.ndarray]] = {}
+    for k, v in sd.items():
+        v = np.asarray(v)
+        if k == "embeddings.cls_token":
+            out["cls_token"] = v
+        elif k == "embeddings.mask_token":
+            continue
+        elif k == "embeddings.position_embeddings":
+            out["pos_embed"] = v
+        elif k == "embeddings.register_tokens":
+            out["register_tokens"] = v
+        elif k.startswith("embeddings.patch_embeddings.projection."):
+            out["patch_embed.proj." + k.rsplit(".", 1)[1]] = v
+        elif k.startswith("layernorm."):
+            out["norm." + k.split(".", 1)[1]] = v
+        elif k.startswith("encoder.layer."):
+            _, _, i, rest = k.split(".", 3)
+            base = f"blocks.{i}"
+            if rest.startswith("attention.attention."):
+                proj, wb = rest.rsplit(".", 2)[-2:]
+                qkv.setdefault(f"{base}.attn.qkv.{wb}", {})[proj] = v
+            elif rest.startswith("attention.output.dense."):
+                out[f"{base}.attn.proj.{rest.rsplit('.', 1)[1]}"] = v
+            elif rest.startswith("layer_scale1."):
+                out[f"{base}.ls1.gamma"] = v
+            elif rest.startswith("layer_scale2."):
+                out[f"{base}.ls2.gamma"] = v
+            else:  # norm1/norm2/mlp.fc1/mlp.fc2
+                out[f"{base}.{rest}"] = v
+        else:
+            raise KeyError(f"unmapped HF DINOv2 key {k}")
+    for key, parts in qkv.items():
+        out[key] = np.concatenate(
+            [parts["query"], parts["key"], parts["value"]], axis=0
+        )
+    return out
+
+
 def convert_dinov2(sd: Dict[str, np.ndarray], flax_params) -> Dict:
-    """facebookresearch DINOv2 checkpoint -> ViTFeatures param tree."""
+    """facebookresearch DINOv2 checkpoint -> ViTFeatures param tree.
+    transformers-layout dicts are adapted automatically."""
+    if any(k.startswith("encoder.layer.") for k in sd):
+        sd = hf_dinov2_to_fb(sd)
     params = flax.traverse_util.flatten_dict(flax_params["params"])
     out = {}
     for k, v in params.items():
@@ -157,27 +205,43 @@ def _nb(leaf: str) -> str:
     return {"scale": "weight", "bias": "bias"}[leaf]
 
 
+def save_converted(params, path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(params))
+
+
+def _maybe_msgpack(path: str, template):
+    mp = path + ".msgpack"
+    if os.path.isfile(mp):
+        with open(mp, "rb") as f:
+            return flax.serialization.from_bytes(template, f.read())
+    return None
+
+
 def load_scorers(weights_dir: str):
-    """weights_dir/{clip,dino} torch checkpoints -> (CLIPScorer, DINOScorer)."""
+    """weights_dir/{clip,dino}[.msgpack] -> (CLIPScorer, DINOScorer).
+
+    Accepts either pre-converted native msgpack (convert_scorers.py) or raw
+    torch checkpoints (converted on the fly)."""
     clip_cfg = CLIPConfig()
     clip_scorer = CLIPScorer(clip_cfg)
     clip_path = os.path.join(weights_dir, "clip")
-    if os.path.exists(clip_path):
-        sd = _load_state_dict(clip_path)
-        clip_scorer = CLIPScorer(
-            clip_cfg, params=convert_clip_model(sd, clip_scorer.params)
-        )
+    params = _maybe_msgpack(clip_path, clip_scorer.params)
+    if params is None and os.path.exists(clip_path):
+        params = convert_clip_model(_load_state_dict(clip_path), clip_scorer.params)
+    if params is not None:
+        clip_scorer = CLIPScorer(clip_cfg, params=params)
     else:
         print(f"WARNING: {clip_path} missing; CLIP scorer is random-init.")
 
     dino_cfg = ViTConfig()
     dino_scorer = DINOScorer(dino_cfg)
     dino_path = os.path.join(weights_dir, "dino")
-    if os.path.exists(dino_path):
-        sd = _load_state_dict(dino_path)
-        dino_scorer = DINOScorer(
-            dino_cfg, params=convert_dinov2(sd, dino_scorer.params)
-        )
+    params = _maybe_msgpack(dino_path, dino_scorer.params)
+    if params is None and os.path.exists(dino_path):
+        params = convert_dinov2(_load_state_dict(dino_path), dino_scorer.params)
+    if params is not None:
+        dino_scorer = DINOScorer(dino_cfg, params=params)
     else:
         print(f"WARNING: {dino_path} missing; DINO scorer is random-init.")
     return clip_scorer, dino_scorer

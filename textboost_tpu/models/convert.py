@@ -399,7 +399,13 @@ def _load_torch_dir(path: str) -> Dict[str, Array]:
 
 
 def load_diffusers_snapshot(
-    path: str, *, lora_rank: int = 0, dtype=None, remat: bool = False, spec_name=None
+    path: str,
+    *,
+    lora_rank: int = 0,
+    dtype=None,
+    vae_dtype=None,
+    remat: bool = False,
+    spec_name=None,
 ):
     """Local diffusers checkpoint dir (model_index.json layout) -> ModelBundle."""
     import jax.numpy as jnp
@@ -422,7 +428,7 @@ def load_diffusers_snapshot(
 
     text_encoder = CLIPTextModel(spec.text_encoder, lora_rank=lora_rank, dtype=dtype)
     unet = UNet2DCondition(spec.unet, dtype=dtype, remat=remat)
-    vae = AutoencoderKL(spec.vae, dtype=dtype)
+    vae = AutoencoderKL(spec.vae, dtype=vae_dtype or dtype)
 
     te_params = convert_text_encoder(
         te_sd, _init_params(spec, text_encoder, "te", 0)

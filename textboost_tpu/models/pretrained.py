@@ -72,6 +72,7 @@ def load_models(
     preset: Optional[str] = None,
     lora_rank: int = 0,
     dtype=jnp.bfloat16,
+    vae_dtype=None,
     seed: int = 0,
     remat: bool = False,
 ) -> ModelBundle:
@@ -92,14 +93,18 @@ def load_models(
             from .convert import load_diffusers_snapshot
 
             return load_diffusers_snapshot(
-                model_name_or_path, lora_rank=lora_rank, dtype=dtype, remat=remat
+                model_name_or_path,
+                lora_rank=lora_rank,
+                dtype=dtype,
+                vae_dtype=vae_dtype,
+                remat=remat,
             )
     if spec is None:
         spec = get_spec(preset or model_name_or_path or "sd15")
 
     text_encoder = CLIPTextModel(spec.text_encoder, lora_rank=lora_rank, dtype=dtype)
     unet = UNet2DCondition(spec.unet, dtype=dtype, remat=remat)
-    vae = AutoencoderKL(spec.vae, dtype=dtype)
+    vae = AutoencoderKL(spec.vae, dtype=vae_dtype or dtype)
 
     te_params = _init_params(spec, text_encoder, "te", seed)
     unet_params = _init_params(spec, unet, "unet", seed + 1)

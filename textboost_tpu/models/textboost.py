@@ -10,9 +10,28 @@ inside the jitted step; the cached embedding is a [77, hidden] constant.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
+
+
+def load_null_embedding_asset(
+    path: str, expected_shape: Optional[Tuple[int, int]] = None
+) -> np.ndarray:
+    """Load a reference-format cached embedding asset
+    (assets/null_emb_*.pt / start_emb_*.pt: a fp32 [77, hidden] torch
+    tensor, train_textboost.py:649 / eval_dreambooth.py:179-181)."""
+    import torch
+
+    tensor = torch.load(path, map_location="cpu", weights_only=True)
+    arr = np.asarray(tensor.float().numpy(), np.float32)
+    if expected_shape is not None and tuple(arr.shape) != tuple(expected_shape):
+        raise ValueError(
+            f"embedding asset {path} has shape {arr.shape}, "
+            f"expected {tuple(expected_shape)} for this model family"
+        )
+    return arr
 
 
 def apply_null_embedding_patch(

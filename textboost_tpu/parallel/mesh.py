@@ -34,6 +34,33 @@ def make_mesh(
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
+def select_devices(n: int, devices: Optional[Sequence] = None):
+    """Pick `n` devices spread evenly across processes.
+
+    `jax.devices()[:n]` would land entirely on process 0 in a multi-host
+    job, leaving other processes with no addressable shard of the mesh;
+    instead take n/process_count local devices from every process.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return devices[:n]
+    if n % n_proc:
+        raise ValueError(
+            f"cannot spread {n} mesh devices over {n_proc} processes evenly"
+        )
+    per_proc = n // n_proc
+    out = []
+    for p in range(n_proc):
+        local = [d for d in devices if d.process_index == p]
+        if len(local) < per_proc:
+            raise ValueError(
+                f"process {p} has {len(local)} devices, need {per_proc}"
+            )
+        out.extend(local[:per_proc])
+    return out
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -48,6 +75,30 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(
         lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
     )
+
+
+def assemble_global_batch(mesh: Mesh, arrays):
+    """Per-process local batch dict -> global dp-sharded jax.Arrays.
+
+    The multi-host counterpart of the reference's DDP per-rank batches
+    (train_textboost.py:918-926): each JAX process loads its own shard of
+    the global batch (data/sharding.py) and contributes it here.  Single
+    process keeps the plain async `device_put` fast path; multi-process
+    assembles one global array whose leading axis spans all processes via
+    `jax.make_array_from_process_local_data`.
+    """
+    if jax.process_count() == 1:
+        return {
+            k: jax.device_put(v, batch_sharding(mesh, np.ndim(v)))
+            for k, v in arrays.items()
+        }
+    out = {}
+    for k, v in arrays.items():
+        v = np.asarray(v)
+        sharding = batch_sharding(mesh, v.ndim)
+        global_shape = (v.shape[0] * jax.process_count(),) + tuple(v.shape[1:])
+        out[k] = jax.make_array_from_process_local_data(sharding, v, global_shape)
+    return out
 
 
 # ---------------------------------------------------------------------------

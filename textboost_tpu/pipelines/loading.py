@@ -8,6 +8,7 @@ active (eval variant semantics).
 from __future__ import annotations
 
 import os
+import re
 from typing import Optional
 
 import jax
@@ -19,6 +20,24 @@ from ..lora.peft_io import import_lora_adapter, import_token_embeddings
 from ..models import CLIPTextModel
 from ..models.pretrained import load_models
 from .text_to_image import TextToImagePipeline
+
+
+def _natural_sorted_bins(model_path: str):
+    """*.bin paths in natural (numeric-aware) order so multi-vector tokens
+    load in index order — <x_10>.bin after <x_2>.bin, not before it."""
+
+    def key(name: str):
+        return [
+            int(part) if part.isdigit() else part
+            for part in re.split(r"(\d+)", name)
+        ]
+
+    return [
+        os.path.join(model_path, f)
+        for f in sorted(
+            (f for f in os.listdir(model_path) if f.endswith(".bin")), key=key
+        )
+    ]
 
 
 def load_textboost_pipeline(
@@ -40,11 +59,7 @@ def load_textboost_pipeline(
     tokenizer = load_tokenizer(base_model)
 
     # Learned token embeddings ({token}.bin files; inference.py:61-68).
-    bins = sorted(
-        os.path.join(model_path, f)
-        for f in os.listdir(model_path)
-        if f.endswith(".bin")
-    )
+    bins = _natural_sorted_bins(model_path)
     learned = import_token_embeddings(bins)
 
     emb = np.asarray(bundle.te_params["params"]["token_embedding"], np.float32)
@@ -75,10 +90,15 @@ def load_textboost_pipeline(
     # supplied explicitly instead.
     null_embedding = None
     if null_embedding_path:
-        import torch
+        from ..models.textboost import load_null_embedding_asset
 
-        tensor = torch.load(null_embedding_path, map_location="cpu", weights_only=True)
-        null_embedding = np.asarray(tensor.float().numpy(), np.float32)
+        null_embedding = load_null_embedding_asset(
+            null_embedding_path,
+            (
+                spec.text_encoder.max_position_embeddings,
+                spec.text_encoder.hidden_size,
+            ),
+        )
     elif use_null_embedding:
         frozen = CLIPTextModel(spec.text_encoder, dtype=dtype)
         ids = jnp.asarray(

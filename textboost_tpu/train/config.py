@@ -97,6 +97,10 @@ class TrainConfig:
     hub_token: Optional[str] = None
     # -- TPU-native extras -----------------------------------------------
     model_preset: Optional[str] = None  # sd14|sd15|sd21base|sd21|tiny
+    # Reference casts the VAE to fp32 (train_textboost.py:936-939); TPU
+    # default is bf16 for MXU throughput (drift measured in PARITY.md).
+    # --vae_fp32 restores exact reference precision.
+    vae_fp32: bool = False
     mesh_dp: Optional[int] = None
     mesh_tp: int = 1
     attention_impl: str = "auto"
@@ -143,8 +147,15 @@ class TrainConfig:
 
 
 def _add_bool_flag(parser, name, default):
+    # BooleanOptionalAction gives every bool a working --no-X form.  The
+    # reference's store_true flags make default-True bools unfalsifiable
+    # from the CLI (train_textboost.py:406-411, --disable_weighted_sample)
+    # — the bug we deliberately do not replicate.
     parser.add_argument(
-        f"--{name}", action="store_true", default=default, dest=name
+        f"--{name}",
+        action=argparse.BooleanOptionalAction,
+        default=default,
+        dest=name,
     )
 
 

@@ -7,6 +7,7 @@ prefetched host batches, logs scalars, and checkpoints.
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import logging
 import os
@@ -32,7 +33,12 @@ from ..models import CLIPTextModel
 from ..models.pretrained import ModelBundle, load_models
 from ..ops.attention import set_default_attention_impl
 from ..ops.schedule import NoiseSchedule
-from ..parallel.mesh import batch_sharding, make_mesh, replicated, shard_params
+from ..parallel.mesh import (
+    assemble_global_batch,
+    make_mesh,
+    replicated,
+    shard_params,
+)
 from ..pipelines import TextToImagePipeline
 from ..tokens.surgery import (
     add_augmentation_tokens,
@@ -68,31 +74,21 @@ class Trainer:
         self._metrics_file = open(
             os.path.join(self.config.output_dir, "metrics.jsonl"), "a"
         )
-        # Optional tracker (train_textboost.py:267-274: tensorboard default).
-        self._tb = None
-        if self.config.report_to == "tensorboard":
-            try:
-                from torch.utils.tensorboard import SummaryWriter
+        # Trackers (train_textboost.py:267-274,941-945:
+        # tensorboard|wandb|comet_ml|all, tensorboard default).
+        from ..utils.trackers import Trackers
 
-                self._tb = SummaryWriter(
-                    os.path.join(self.config.output_dir, self.config.logging_dir)
-                )
-            except Exception as e:  # noqa: BLE001 — tracker is best-effort
-                logger.info("tensorboard unavailable (%s); JSONL only", e)
-        elif self.config.report_to not in (None, "none", "jsonl"):
-            logger.info(
-                "report_to=%s not available in this build; using JSONL",
-                self.config.report_to,
-            )
+        self._trackers = Trackers(
+            self.config.report_to,
+            os.path.join(self.config.output_dir, self.config.logging_dir),
+            config=dataclasses.asdict(self.config),
+        )
 
     def _log_metrics(self, step: int, scalars: Dict[str, float]):
         rec = {"step": step, **{k: float(v) for k, v in scalars.items()}}
         self._metrics_file.write(json.dumps(rec) + "\n")
         self._metrics_file.flush()
-        if self._tb is not None:
-            for k, v in rec.items():
-                if k != "step":
-                    self._tb.add_scalar(k, v, step)
+        self._trackers.log({k: v for k, v in rec.items() if k != "step"}, step)
 
     # ------------------------------------------------------------------
     def _setup(self):
@@ -111,6 +107,7 @@ class Trainer:
             preset=cfg.model_preset,
             lora_rank=cfg.lora_rank,
             dtype=dtype,
+            vae_dtype=jnp.float32 if cfg.vae_fp32 else None,
             seed=cfg.seed,
             remat=cfg.gradient_checkpointing,
         )
@@ -118,6 +115,16 @@ class Trainer:
         self.tokenizer = load_tokenizer(
             cfg.tokenizer_name or cfg.pretrained_model_name_or_path
         )
+        from ..data.tokenizer import HashTokenizer
+
+        if isinstance(self.tokenizer, HashTokenizer):
+            logger.warning(
+                "No CLIP tokenizer files found — using the deterministic "
+                "HashTokenizer fallback. Embeddings trained this way are "
+                "NOT transferable to real CLIP vocab; point "
+                "--tokenizer_name/--pretrained_model_name_or_path at a "
+                "converted snapshot for real runs."
+            )
 
         # Frozen reference encoder, captured BEFORE token surgery
         # (train_textboost.py:650).  Aliasing the bundle buffers is safe:
@@ -198,21 +205,17 @@ class Trainer:
         # regenerating it natively from the frozen encoder (correct for any
         # base model, unlike the hardcoded sd21base asset).
         if getattr(cfg, "null_embedding_path", None):
-            import torch
+            from ..models.textboost import load_null_embedding_asset
 
-            tensor = torch.load(
-                cfg.null_embedding_path, map_location="cpu", weights_only=True
-            )
             self.null_embedding = jnp.asarray(
-                np.asarray(tensor.float().numpy(), np.float32)
+                load_null_embedding_asset(
+                    cfg.null_embedding_path,
+                    (
+                        spec.text_encoder.max_position_embeddings,
+                        spec.text_encoder.hidden_size,
+                    ),
+                )
             )
-            assert self.null_embedding.shape == (
-                spec.text_encoder.max_position_embeddings,
-                spec.text_encoder.hidden_size,
-            ), f"null embedding shape {self.null_embedding.shape} mismatch"
-            ids = None
-        else:
-            ids = None
         ids = jnp.asarray(
             np.asarray(
                 self.tokenizer(
@@ -301,6 +304,10 @@ class Trainer:
         augment_pipe = None
         if cfg.augment.lower() in ("pda", "paug"):
             augment_pipe = PairedAugmentation(
+                # hflip joins the geometric op bank under inversion so the
+                # <hflip> aug token actually trains
+                # (train_textboost.py:857-870).
+                hflip="inversion" if cfg.augment_inversion else "false",
                 inversion=cfg.augment_inversion,
                 p=cfg.augment_p,
                 augment_prompt=bool(cfg.augment_prompt),
@@ -316,6 +323,16 @@ class Trainer:
             for c in self.concepts
         ]
         shard_id, num_shards = process_shard_info()
+        # train_batch_size is GLOBAL (reference splits it across ranks,
+        # run_textboost_db.py:140); each process loads its slice and the
+        # global batch is assembled in _device_batch.
+        n_proc = jax.process_count()
+        if cfg.train_batch_size % n_proc:
+            raise ValueError(
+                f"train_batch_size ({cfg.train_batch_size}) must be divisible "
+                f"by the process count ({n_proc})"
+            )
+        self.local_batch_size = cfg.train_batch_size // n_proc
         dataset = TextBoostDataset(
             concepts_for_ds,
             self.tokenizer,
@@ -331,7 +348,7 @@ class Trainer:
         )
         self.train_loader = PrefetchLoader(
             dataset,
-            batch_size=cfg.train_batch_size,
+            batch_size=self.local_batch_size,
             collate=TextBoostDataset.collate,
             collate_kwargs={"with_prior_preservation": cfg.with_image_prior},
             shard_id=shard_id,
@@ -351,7 +368,7 @@ class Trainer:
         )
         self.prior_loader = PrefetchLoader(
             prior_ds,
-            batch_size=cfg.train_batch_size,
+            batch_size=self.local_batch_size,
             collate=PriorDataset.collate,
             shard_id=shard_id,
             num_shards=num_shards,
@@ -372,7 +389,9 @@ class Trainer:
                 "dp=%d x tp=%d (%d/%d devices in use)",
                 cfg.train_batch_size, dp, tp, dp * tp, n_dev,
             )
-        self.mesh = make_mesh(dp=dp, tp=tp, devices=jax.devices()[: dp * tp])
+        from ..parallel.mesh import select_devices
+
+        self.mesh = make_mesh(dp=dp, tp=tp, devices=select_devices(dp * tp))
         tp = cfg.mesh_tp > 1
         self.unet_params = shard_params(self.bundle.unet_params, self.mesh, tp)
         self.vae_params = shard_params(self.bundle.vae_params, self.mesh, False)
@@ -383,7 +402,7 @@ class Trainer:
             shard_params(self.te_params, self.mesh, False)
         )
 
-        step_config = StepConfig(
+        step_config = self.step_config = StepConfig(
             train_unet=self.train_unet,
             prediction_type=spec.scheduler.prediction_type,
             vae_scaling=spec.vae.scaling_factor,
@@ -455,6 +474,11 @@ class Trainer:
                     restore_checkpoint(path, self.state), replicated(self.mesh)
                 )
                 self.start_step = int(self.state.step)
+                # Continue the data sequence instead of replaying batch 0
+                # (the loader counts micro-batches: accum per counted step).
+                accum = max(cfg.gradient_accumulation_steps, 1)
+                self.train_loader.set_start_step(self.start_step * accum)
+                self.prior_loader.set_start_step(self.start_step * accum)
                 logger.info("Resumed from step %d", self.start_step)
             else:
                 logger.info("No checkpoint found at %s; starting fresh", path)
@@ -468,10 +492,7 @@ class Trainer:
         }
         if "mask" in batch:
             arrays["mask"] = batch["mask"]
-        return {
-            k: jax.device_put(v, batch_sharding(self.mesh, np.ndim(v)))
-            for k, v in arrays.items()
-        }
+        return assemble_global_batch(self.mesh, arrays)
 
     # ------------------------------------------------------------------
     def train(self) -> Dict[str, float]:
@@ -536,6 +557,7 @@ class Trainer:
             self.save_final()
         self.train_loader.stop()
         self.prior_loader.stop()
+        self._trackers.finish()
         return {"wall_time_s": wall, "steps": step, **last_metrics}
 
     # ------------------------------------------------------------------
@@ -625,9 +647,6 @@ class Trainer:
         grid = np.concatenate(list(images), axis=1)
         path = os.path.join(cfg.output_dir, f"validation_{step}.jpg")
         Image.fromarray(grid).save(path)
-        if self._tb is not None:
-            self._tb.add_image(
-                "validation", grid.transpose(2, 0, 1), step
-            )
+        self._trackers.log_images("validation", [grid], step, captions=prompts[:1])
         logger.info("Wrote validation grid %s", path)
         return path
