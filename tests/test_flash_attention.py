@@ -80,14 +80,48 @@ def test_backward_padded_head_dim():
 
 
 def test_unsupported_shapes_fall_back():
-    # Cross-attention shape: kv len 77 is not block-divisible -> XLA path.
-    assert not supports_flash(4096, 77, 40)
+    # KV 77 is handled via pad+mask now; only Q-side constraints remain.
+    assert supports_flash(4096, 77, 40)
     assert supports_flash(4096, 4096, 40)
     assert not supports_flash(64, 64, 40)  # too small to benefit
-    q, k, v = _rand((1, 128, 1, 16), 0), _rand((1, 77, 1, 16), 1), _rand((1, 77, 1, 16), 2)
-    out = flash_attention(q, k, v, scale=0.25)
+    q, k, v = _rand((1, 120, 1, 16), 0), _rand((1, 77, 1, 16), 1), _rand((1, 77, 1, 16), 2)
+    out = flash_attention(q, k, v, scale=0.25)  # q 120 not 128-divisible
     ref = _ref_attention(q, k, v, 0.25)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("n_kv", [77, 100, 250])
+def test_cross_attention_kv_masking(n_kv):
+    # SD cross-attention: long spatial Q over short unaligned text KV —
+    # padded to the 128 boundary with the tail masked in-kernel.
+    b, n, h, d = 1, 256, 2, 40
+    q, k, v = _rand((b, n, h, d), 0), _rand((b, n_kv, h, d), 1), _rand((b, n_kv, h, d), 2)
+    scale = d**-0.5
+    out = flash_attention(q, k, v, scale=scale, interpret=True, block_q=128, block_k=128)
+    ref = _ref_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_cross_attention_kv_masking_backward():
+    b, n, h, d = 1, 256, 1, 32
+    q, k, v = _rand((b, n, h, d), 3), _rand((b, 77, h, d), 4), _rand((b, 77, h, d), 5)
+    scale = d**-0.5
+    fa = functools.partial(
+        flash_attention, scale=scale, interpret=True, block_q=128, block_k=128
+    )
+
+    def loss_f(fn, q, k, v):
+        return jnp.sum(fn(q, k, v) ** 2)
+
+    g_flash = jax.grad(functools.partial(loss_f, fa), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(
+        functools.partial(loss_f, lambda q, k, v: _ref_attention(q, k, v, scale)),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=5e-5, rtol=1e-3, err_msg=f"d{name}"
+        )
 
 
 def test_bf16_forward():

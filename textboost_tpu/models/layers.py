@@ -16,11 +16,62 @@ import jax.numpy as jnp
 from ..ops.attention import merge_heads, multi_head_attention, split_heads
 
 
-def group_norm(x: jnp.ndarray, num_groups: int, name: str, eps: float = 1e-5):
+class GroupNorm(nn.Module):
+    """GroupNorm over the channel (last) axis, fp32 stats, optional fused
+    SiLU epilogue.
+
+    Dispatches to the Pallas fused kernel (ops/group_norm.py: one HBM read
+    + one write per direction) on TPU when the per-batch slab fits VMEM;
+    falls back to inline flax-equivalent math otherwise.  Param tree
+    (scale/bias) matches nn.GroupNorm so checkpoints convert identically.
+    """
+
+    num_groups: int
+    eps: float = 1e-5
+    silu: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        from ..ops.group_norm import (
+            fused_group_norm,
+            group_norm_impl,
+            supports_fused,
+        )
+
+        rows = 1
+        for d in x.shape[1:-1]:
+            rows *= d
+        impl = group_norm_impl()
+        use_fused = impl == "fused" or (
+            impl == "auto"
+            and jax.default_backend() == "tpu"
+            and supports_fused(rows, c, self.num_groups)
+        )
+        if use_fused:
+            return fused_group_norm(
+                x, scale, bias, self.num_groups, eps=self.eps, silu=self.silu
+            )
+
+        xf = x.astype(jnp.float32)
+        grouped = xf.reshape(x.shape[0], rows, self.num_groups, c // self.num_groups)
+        mean = grouped.mean(axis=(1, 3), keepdims=True)
+        var = grouped.var(axis=(1, 3), keepdims=True)
+        y = ((grouped - mean) * jax.lax.rsqrt(var + self.eps)).reshape(xf.shape)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        if self.silu:
+            y = jax.nn.silu(y)
+        return y.astype(x.dtype)
+
+
+def group_norm(
+    x: jnp.ndarray, num_groups: int, name: str, eps: float = 1e-5, silu: bool = False
+):
     """GroupNorm over the channel (last) axis, computed in fp32."""
-    return nn.GroupNorm(
-        num_groups=num_groups, epsilon=eps, dtype=jnp.float32, name=name
-    )(x).astype(x.dtype)
+    return GroupNorm(num_groups=num_groups, eps=eps, silu=silu, name=name)(x)
 
 
 class ResnetBlock(nn.Module):
@@ -34,16 +85,14 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None):
         in_channels = x.shape[-1]
-        h = group_norm(x, self.num_groups, "norm1")
-        h = jax.nn.silu(h)
+        h = group_norm(x, self.num_groups, "norm1", silu=True)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 jax.nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = group_norm(h, self.num_groups, "norm2")
-        h = jax.nn.silu(h)
+        h = group_norm(h, self.num_groups, "norm2", silu=True)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
             x = nn.Conv(

@@ -120,9 +120,8 @@ class UNet2DCondition(nn.Module):
                 x = Upsample(out_ch, dtype=self.dtype, name=f"up_{up_idx}_upsample")(x)
 
         # ------------------------- out --------------------------
-        x = nn.GroupNorm(
-            num_groups=cfg.norm_num_groups, dtype=jnp.float32, name="conv_norm_out"
-        )(x).astype(self.dtype)
-        x = jax.nn.silu(x)
+        from .layers import group_norm
+
+        x = group_norm(x, cfg.norm_num_groups, "conv_norm_out", silu=True)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
         return x

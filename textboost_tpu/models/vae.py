@@ -51,8 +51,7 @@ class Encoder(nn.Module):
             num_groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_resnet_1",
         )(x)
 
-        x = group_norm(x, cfg.norm_num_groups, "conv_norm_out", eps=1e-6)
-        x = jax.nn.silu(x)
+        x = group_norm(x, cfg.norm_num_groups, "conv_norm_out", eps=1e-6, silu=True)
         # 2x latent channels: [mean, logvar] moments.
         return nn.Conv(
             cfg.latent_channels * 2, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
@@ -91,8 +90,7 @@ class Decoder(nn.Module):
             if up_idx != num_levels - 1:
                 x = Upsample(out_ch, dtype=self.dtype, name=f"up_{up_idx}_upsample")(x)
 
-        x = group_norm(x, cfg.norm_num_groups, "conv_norm_out", eps=1e-6)
-        x = jax.nn.silu(x)
+        x = group_norm(x, cfg.norm_num_groups, "conv_norm_out", eps=1e-6, silu=True)
         return nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(x)

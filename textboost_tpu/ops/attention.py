@@ -71,7 +71,9 @@ def multi_head_attention(
 
     if impl == "auto":
         # Flash pays off when the score matrix is large; tiny sequences
-        # (CLIP's 77 tokens) are faster through plain XLA fusion.
+        # (CLIP's 77 tokens) are faster through plain XLA fusion.  Covers
+        # both big self-attention (m == n) and cross-attention over text
+        # (m = 77, KV padded + tail-masked inside the kernel).
         from .flash_attention import supports_flash
 
         use_flash = (

@@ -33,8 +33,9 @@ def _block(n: int, target: int) -> int:
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, n_kv):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, n_kv, kv_len):
     # q_ref: [BQ, D]; k_ref/v_ref: [NKV, D]; o_ref: [BQ, D]; lse_ref: [BQ, 128]
+    # kv_len: real (unpadded) KV length; columns >= kv_len are masked out.
     q = q_ref[:].astype(jnp.float32) * scale
     bq, d = q.shape
     num_kb = n_kv // block_k
@@ -46,6 +47,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, n_kv):
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [BQ, BK]
+        if kv_len < n_kv:
+            col = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+            s = jnp.where(col < kv_len, s, NEG_INF)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
@@ -65,11 +69,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, n_kv):
     lse_ref[:] = jnp.broadcast_to(lse, lse_ref.shape)
 
 
-def _fwd(q, k, v, scale, block_q, block_k, interpret):
+def _fwd(q, k, v, scale, block_q, block_k, kv_len, interpret):
     bh, n, d = q.shape
     n_kv = k.shape[1]
     grid = (bh, n // block_q)
-    kernel = functools.partial(_fwd_kernel, scale=scale, block_k=block_k, n_kv=n_kv)
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, block_k=block_k, n_kv=n_kv, kv_len=kv_len
+    )
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -96,13 +102,14 @@ def _fwd(q, k, v, scale, block_q, block_k, interpret):
 # ---------------------------------------------------------------------------
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    *, scale, block_q, n_q,
+    *, scale, block_q, n_q, block_k, n_kv, kv_len,
 ):
     # Gridded over K blocks: k_ref/v_ref [BK, D]; loop over all q blocks.
     k = k_ref[:].astype(jnp.float32)
     v = v_ref[:].astype(jnp.float32)
     bk, d = k.shape
     num_qb = n_q // block_q
+    kb = pl.program_id(1)
 
     def body(i, carry):
         dk, dv = carry
@@ -114,6 +121,11 @@ def _bwd_dkv_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [BQ, BK]
         p = jnp.exp(s - lse)
+        if kv_len < n_kv:
+            col = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, bk), 1
+            )
+            p = jnp.where(col < kv_len, p, 0.0)
         dv = dv + jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # [BK, D]
@@ -135,7 +147,7 @@ def _bwd_dkv_kernel(
 
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    *, scale, block_k, n_kv,
+    *, scale, block_k, n_kv, kv_len,
 ):
     q = q_ref[:].astype(jnp.float32) * scale
     do = do_ref[:].astype(jnp.float32)
@@ -151,6 +163,9 @@ def _bwd_dq_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         p = jnp.exp(s - lse)
+        if kv_len < n_kv:
+            col = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+            p = jnp.where(col < kv_len, p, 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -163,7 +178,7 @@ def _bwd_dq_kernel(
     dq_ref[:] = (dq * scale).astype(dq_ref.dtype)
 
 
-def _bwd(scale, block_q, block_k, interpret, residuals, dout):
+def _bwd(scale, block_q, block_k, kv_len, interpret, residuals, dout):
     q, k, v, out, lse = residuals
     bh, n, d = q.shape
     n_kv = k.shape[1]
@@ -173,7 +188,8 @@ def _bwd(scale, block_q, block_k, interpret, residuals, dout):
     delta_b = jnp.broadcast_to(delta, (bh, n, 128))
 
     dkv_kernel = functools.partial(
-        _bwd_dkv_kernel, scale=scale, block_q=block_q, n_q=n
+        _bwd_dkv_kernel, scale=scale, block_q=block_q, n_q=n,
+        block_k=block_k, n_kv=n_kv, kv_len=kv_len,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
@@ -198,7 +214,7 @@ def _bwd(scale, block_q, block_k, interpret, residuals, dout):
     )(q, k, v, dout, lse_b, delta_b)
 
     dq_kernel = functools.partial(
-        _bwd_dq_kernel, scale=scale, block_k=block_k, n_kv=n_kv
+        _bwd_dq_kernel, scale=scale, block_k=block_k, n_kv=n_kv, kv_len=kv_len
     )
     dq = pl.pallas_call(
         dq_kernel,
@@ -223,32 +239,28 @@ def _bwd(scale, block_q, block_k, interpret, residuals, dout):
 # ---------------------------------------------------------------------------
 # custom_vjp wrapper on [BH, N, D]
 # ---------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_bhnd(q, k, v, scale, block_q, block_k, interpret):
-    out, _ = _fwd(q, k, v, scale, block_q, block_k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_bhnd(q, k, v, scale, block_q, block_k, kv_len, interpret):
+    out, _ = _fwd(q, k, v, scale, block_q, block_k, kv_len, interpret)
     return out
 
 
-def _flash_fwd_rule(q, k, v, scale, block_q, block_k, interpret):
-    out, lse = _fwd(q, k, v, scale, block_q, block_k, interpret)
+def _flash_fwd_rule(q, k, v, scale, block_q, block_k, kv_len, interpret):
+    out, lse = _fwd(q, k, v, scale, block_q, block_k, kv_len, interpret)
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd_rule(scale, block_q, block_k, interpret, residuals, dout):
-    return _bwd(scale, block_q, block_k, interpret, residuals, dout)
+def _flash_bwd_rule(scale, block_q, block_k, kv_len, interpret, residuals, dout):
+    return _bwd(scale, block_q, block_k, kv_len, interpret, residuals, dout)
 
 
 _flash_bhnd.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 def supports_flash(n_q: int, n_kv: int, d: int) -> bool:
-    """Shapes the kernel handles: both sequence lengths block-divisible."""
-    return (
-        n_q % 128 == 0
-        and n_kv % 128 == 0
-        and n_q >= 256
-        and d <= 256
-    )
+    """Shapes the kernel handles.  KV length is padded to the 128 boundary
+    by the wrapper (tail masked in-kernel), so only Q needs divisibility."""
+    return n_q % 128 == 0 and n_q >= 256 and d <= 256
 
 
 def flash_attention(
@@ -261,7 +273,10 @@ def flash_attention(
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Flash attention over [B, N, H, D] (ops/attention.py layout)."""
+    """Flash attention over [B, N, H, D] (ops/attention.py layout).
+
+    Handles short/unaligned KV (cross-attention over 77 text tokens) by
+    zero-padding KV to the 128 boundary and masking the tail in-kernel."""
     b, n, h, d = q.shape
     n_kv = k.shape[1]
     if not supports_flash(n, n_kv, d):
@@ -272,8 +287,10 @@ def flash_attention(
         probs = jax.nn.softmax(logits * scale, axis=-1).astype(v.dtype)
         return jnp.einsum("bhnm,bmhd->bnhd", probs, v)
 
+    kv_pad = (-n_kv) % 128
+    n_kv_padded = n_kv + kv_pad
     block_q = _block(n, block_q)
-    block_k = _block(n_kv, block_k)
+    block_k = _block(n_kv_padded, block_k)
 
     # Pad head dim to the 128-lane boundary; zero columns do not change
     # softmax(q k^T) v and receive zero gradients.
@@ -283,7 +300,10 @@ def flash_attention(
     if d_pad:
         padder = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, d_pad)))
         qt, kt, vt = padder(qt), padder(kt), padder(vt)
+    if kv_pad:
+        kv_padder = lambda x: jnp.pad(x, ((0, 0), (0, kv_pad), (0, 0)))
+        kt, vt = kv_padder(kt), kv_padder(vt)
 
-    out = _flash_bhnd(qt, kt, vt, scale, block_q, block_k, interpret)
+    out = _flash_bhnd(qt, kt, vt, scale, block_q, block_k, n_kv, interpret)
     out = out[:, :, :d].reshape(b, h, n, d).transpose(0, 2, 1, 3)
     return out.astype(q.dtype)

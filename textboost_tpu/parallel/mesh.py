@@ -152,7 +152,25 @@ def param_sharding(params, mesh: Mesh, tensor_parallel: bool = True):
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
+def put_global(x, sharding: NamedSharding):
+    """device_put that is collective-free on multi-process meshes.
+
+    `jax.device_put` onto a sharding that spans non-addressable devices runs
+    a cross-process equality check (a collective) — it fires mid-setup while
+    processes are still staggered in compile, blowing the transport's
+    context-init window.  Building the global array from per-device local
+    puts has identical semantics for host-identical inputs (every process
+    loads the same checkpoint) without any communication.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    idx_map = sharding.addressable_devices_indices_map(x.shape)
+    locals_ = [jax.device_put(x[idx], d) for d, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(x.shape, sharding, locals_)
+
+
 def shard_params(params, mesh: Mesh, tensor_parallel: bool = True):
     return jax.tree.map(
-        jax.device_put, params, param_sharding(params, mesh, tensor_parallel)
+        put_global, params, param_sharding(params, mesh, tensor_parallel)
     )

@@ -470,8 +470,12 @@ class Trainer:
                 else cfg.resume_from_checkpoint
             )
             if latest_checkpoint(path) or os.path.basename(path).startswith("checkpoint-"):
-                self.state = jax.device_put(
-                    restore_checkpoint(path, self.state), replicated(self.mesh)
+                from ..parallel.mesh import put_global
+
+                rep_sharding = replicated(self.mesh)
+                self.state = jax.tree.map(
+                    lambda x: put_global(x, rep_sharding),
+                    restore_checkpoint(path, self.state),
                 )
                 self.start_step = int(self.state.step)
                 # Continue the data sequence instead of replaying batch 0
@@ -511,6 +515,23 @@ class Trainer:
         profile_span = (5, 15) if cfg.profile_dir else None
         accum = max(cfg.gradient_accumulation_steps, 1)
         next_batch = self._device_batch(next(train_iter), next(prior_iter))
+        if jax.process_count() > 1:
+            # Compile is process-local and can stagger across hosts by
+            # minutes; entering the first cross-process collective that far
+            # out of sync can blow the transport's context-init window.
+            # AOT-compile, then rendezvous at the coordination-service
+            # barrier (not a collective) before the first step executes.
+            self.train_step = self.train_step.lower(
+                self.state, next_batch, self.frozen
+            ).compile()
+            try:
+                from jax._src import distributed
+
+                distributed.global_state.client.wait_at_barrier(
+                    "textboost_compile_done", 1_200_000
+                )
+            except Exception as e:  # noqa: BLE001 — barrier is best-effort
+                logger.info("compile barrier unavailable (%s)", e)
         while step < cfg.max_train_steps:
             if profile_span and step - self.start_step == profile_span[0]:
                 jax.profiler.start_trace(cfg.profile_dir)
