@@ -66,18 +66,56 @@ def _edge_pad(image: Image.Image, pad_w: int, pad_h: int) -> Image.Image:
     return Image.fromarray(arr)
 
 
+def _inverse_affine_matrix(w: int, h: int, scale: float, tx: float = 0.0,
+                           ty: float = 0.0):
+    """torchvision `_get_inverse_affine_matrix` specialised to angle=0,
+    shear=0 about the image center — the exact matrix
+    `v2.functional.affine` hands to `PIL.Image.transform`
+    (paired_augmentation.py:26-33)."""
+    cx, cy = w * 0.5, h * 0.5
+    inv = 1.0 / scale
+    m2 = inv * (-cx - tx) + cx
+    m5 = inv * (-cy - ty) + cy
+    return inv, m2, m5
+
+
 def adjust_scale(image, prompt, inversion, rng, captions) -> AugOut:
-    """Zoom in/out about center, edge-filled (paired_augmentation.py:20-49)."""
+    """Zoom in/out about center, edge-filled (paired_augmentation.py:20-49).
+
+    Matches the reference's pad -> v2.functional.affine(scale, BICUBIC) ->
+    center_crop composition sample-for-sample: the affine is PIL
+    `Image.transform` with torchvision's inverse matrix, and the trailing
+    center-crop is fused into the transform's output window (folding the
+    crop offset into the matrix is exact — PIL's output-coordinate
+    conventions are linear in the offset)."""
     scale = rng.uniform(0.34, 1.4)
     w0, h0 = image.size
+    pad_w = pad_h = 0
     if scale < 1.0:
-        pad_h = round((h0 / scale - h0) / 2)
-        pad_w = round((w0 / scale - w0) / 2)
-        if pad_h > 0 and pad_w > 0:
+        ph_ = round((h0 / scale - h0) / 2)
+        pw_ = round((w0 / scale - w0) / 2)
+        if ph_ > 0 and pw_ > 0:
+            pad_w, pad_h = pw_, ph_
+    pw, ph = w0 + 2 * pad_w, h0 + 2 * pad_h
+    inv, m2, m5 = _inverse_affine_matrix(pw, ph, scale)
+    left = int(round((pw - w0) / 2.0))
+    top = int(round((ph - h0) / 2.0))
+    matrix = (inv, 0.0, m2 + inv * left, 0.0, inv, m5 + inv * top)
+
+    from .native import affine_scale_bicubic
+
+    out = affine_scale_bicubic(
+        np.asarray(image), pad_w, pad_h, w0, h0,
+        matrix[0], matrix[2], matrix[4], matrix[5],
+    )
+    if out is not None:
+        image = Image.fromarray(out)
+    else:  # PIL fallback: materialize the pad, then transform
+        if pad_w or pad_h:
             image = _edge_pad(image, pad_w, pad_h)
-    nw, nh = max(round(image.width * scale), 1), max(round(image.height * scale), 1)
-    image = image.resize((nw, nh), Image.BICUBIC)
-    image = _center_crop_or_pad(image, w0, h0)
+        image = image.transform(
+            (w0, h0), Image.AFFINE, matrix, resample=Image.BICUBIC
+        )
     if inversion:
         if scale < 0.6:
             add = captions["<zoom-out>"] + " "
@@ -126,19 +164,26 @@ def horizontal_flip(image, prompt, inversion, rng, captions) -> AugOut:
 
 def horizontal_translate(image, prompt, inversion, rng, captions) -> AugOut:
     """Shift left/right by 15-30% width, edge-filled
-    (paired_augmentation.py:91-126)."""
+    (paired_augmentation.py:91-126).
+
+    The reference's pad(edge) -> affine(translate, NEAREST) -> center_crop
+    composition reduces exactly to an integer column shift with one edge
+    column replicated into the vacated band; computed as two numpy slice
+    copies instead of materializing the padded array."""
     direction = rng.integers(0, 2)
     w, h = image.size
     shift = int(rng.uniform(0.15, 0.3) * w)
     arr = np.asarray(image)
-    arr = np.pad(arr, ((0, 0), (shift, shift), (0, 0)), mode="edge")
-    if direction == 0:  # content moves left
-        window = arr[:, 2 * shift : 2 * shift + w]
+    out = np.empty_like(arr)
+    if direction == 0:  # content moves left; right edge replicated
+        out[:, : w - shift] = arr[:, shift:]
+        out[:, w - shift :] = arr[:, -1:]
         add = captions["<left>"] if inversion else "on the left"
-    else:
-        window = arr[:, 0:w]
+    else:  # content moves right; left edge replicated
+        out[:, shift:] = arr[:, : w - shift]
+        out[:, :shift] = arr[:, :1]
         add = captions["<right>"] if inversion else "on the right"
-    return Image.fromarray(window), prompt + " " + add
+    return Image.fromarray(out), prompt + " " + add
 
 
 def adjust_brightness(image, prompt, inversion, rng, captions) -> AugOut:

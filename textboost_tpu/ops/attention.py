@@ -15,7 +15,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_DEFAULT_IMPL = "auto"
+import os
+
+_DEFAULT_IMPL = os.environ.get("TEXTBOOST_ATTENTION", "auto")
+# Whether "auto" routes short-KV cross-attention (m != n, e.g. 77 text
+# tokens) through the Pallas kernel, or only big self-attention.
+_FLASH_CROSS = os.environ.get("TEXTBOOST_FLASH_CROSS", "1") != "0"
 
 
 def set_default_attention_impl(impl: str) -> None:
@@ -81,6 +86,7 @@ def multi_head_attention(
             and mask is None
             and not causal
             and n >= 1024
+            and (m == n or _FLASH_CROSS)
             and supports_flash(n, m, q.shape[-1])
         )
         impl = "flash" if use_flash else "xla"

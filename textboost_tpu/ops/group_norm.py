@@ -24,7 +24,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-_DEFAULT_IMPL = "auto"
+import os
+
+_DEFAULT_IMPL = os.environ.get("TEXTBOOST_GROUP_NORM", "auto")
+
+# The whole-sample slab strategy needs several fp32 copies of the
+# [rows, C] block live at once (~4-5x slab bytes); the default 16 MB
+# scoped-vmem limit rejects the 64x64x320 SD layer on a real chip even
+# though v5e has 128 MB of physical VMEM.  Lift the Mosaic limit and keep
+# _MAX_SLAB_BYTES as the true budget knob.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def set_group_norm_impl(impl: str) -> None:
@@ -124,6 +133,7 @@ def _run_fwd(x, gamma, beta, num_groups, eps, silu, interpret):
     y, mean, rstd = pl.pallas_call(
         kernel,
         grid=(b,),
+        compiler_params=_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((None, rows, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -152,6 +162,7 @@ def _run_bwd(x, gamma, beta, mean, rstd, dy, num_groups, eps, silu, interpret):
     return pl.pallas_call(
         kernel,
         grid=(b,),
+        compiler_params=_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((None, rows, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
