@@ -166,10 +166,75 @@ def bench_sample(args):
     }
 
 
+def bench_e2e(args):
+    """Full flagship CLI run (BASELINE.md north star: one-shot instance,
+    250 steps x bs 8, 512px, pda+inversion+KPL, under 120 s wall on
+    v5e-8).  Runs train_textboost.py as a subprocess on a synthetic
+    instance image; wall time includes model build, compile (amortized by
+    the persistent cache), the host data pipeline, and final checkpoint
+    export."""
+    import subprocess
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    workdir = tempfile.mkdtemp(prefix="textboost_e2e_")
+    inst = os.path.join(workdir, "instance")
+    os.makedirs(inst)
+    rng = np.random.default_rng(0)
+    Image.fromarray(
+        rng.integers(0, 255, (512, 512, 3), dtype=np.uint8)
+    ).save(os.path.join(inst, "img.jpg"), quality=95)
+    out_dir = os.path.join(workdir, "out")
+    cmd = [
+        sys.executable,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "train_textboost.py"),
+        "--instance_data_dir", inst,
+        "--instance_token", "<x>",
+        "--initializer_token", "dog",
+        "--output_dir", out_dir,
+        "--model_preset", args.preset,
+        "--max_train_steps", str(args.steps),
+        "--train_batch_size", str(args.batch_size),
+        "--resolution", str(args.resolution),
+        "--lora_rank", str(args.lora_rank),
+        "--augment", "pda",
+        "--augment_inversion",
+        "--augment_prompt", "1",
+        "--template", "imagenet_small",
+        "--kpl_weight", "0.1",
+        "--checkpointing_steps", "0",
+    ]
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+    t0 = time.time()
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                          timeout=3600)
+    wall = time.time() - t0
+    ok = proc.returncode == 0 and os.path.isdir(out_dir)
+    target = 120.0 * args.steps / 250.0
+    return {
+        "metric": f"e2e_cli_wall_s ({args.preset}, {args.steps} steps, "
+        f"bs={args.batch_size}, {args.resolution}px, pda+inversion+KPL)",
+        "value": round(wall, 1) if ok else 0.0,
+        "unit": "s",
+        # >= 1.0 means the <120 s-per-250-steps north star is met.
+        "vs_baseline": round(target / wall, 4) if ok else 0.0,
+        "extra": {
+            "returncode": proc.returncode,
+            "tail": proc.stdout[-300:] if ok else (proc.stderr[-300:]),
+        },
+    }
+
+
 def main():
     _platform_override()
     parser = argparse.ArgumentParser()
-    parser.add_argument("--mode", choices=["train", "sample"], default="train")
+    parser.add_argument("--mode", choices=["train", "sample", "e2e"],
+                        default="train")
+    parser.add_argument("--steps", type=int, default=250,
+                        help="e2e mode: train steps")
     parser.add_argument("--preset", default="sd15")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--resolution", type=int, default=512)
@@ -182,7 +247,8 @@ def main():
     args = parser.parse_args()
 
     try:
-        result = bench_train(args) if args.mode == "train" else bench_sample(args)
+        result = {"train": bench_train, "sample": bench_sample,
+                  "e2e": bench_e2e}[args.mode](args)
     except Exception as e:  # noqa: BLE001 — bench must always emit one line
         result = {
             "metric": f"bench_{args.mode}_failed",

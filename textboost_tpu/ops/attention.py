@@ -19,8 +19,11 @@ import os
 
 _DEFAULT_IMPL = os.environ.get("TEXTBOOST_ATTENTION", "auto")
 # Whether "auto" routes short-KV cross-attention (m != n, e.g. 77 text
-# tokens) through the Pallas kernel, or only big self-attention.
-_FLASH_CROSS = os.environ.get("TEXTBOOST_FLASH_CROSS", "1") != "0"
+# tokens) through the Pallas kernel.  Measured on v5e (sd15 train step,
+# bs8/512px): self-attn flash wins big (463 -> 335 ms/step vs XLA) but
+# kv-padded cross flash LOSES ~15 ms/step to XLA's fused softmax at
+# kv=77, so "auto" defaults to self-attention only.
+_FLASH_CROSS = os.environ.get("TEXTBOOST_FLASH_CROSS", "0") != "0"
 
 
 def set_default_attention_impl(impl: str) -> None:
