@@ -166,6 +166,118 @@ def bench_sample(args):
     }
 
 
+def bench_parts(args):
+    """Component timing: VAE encode / text encode / UNet fwd / UNet
+    fwd+bwd-to-hidden / full train step — isolates where the step budget
+    goes (SURVEY §3.1 cost ranking)."""
+    import jax
+    import jax.numpy as jnp
+
+    from textboost_tpu.models import CLIPTextModel, get_spec
+    from textboost_tpu.models.pretrained import load_models
+
+    spec = get_spec(args.preset)
+    bundle = load_models(args.preset, lora_rank=args.lora_rank,
+                         dtype=jnp.bfloat16, remat=args.remat)
+    b, res = args.batch_size, args.resolution
+    lat = res // 8
+
+    N = 32
+
+    def timeit_scan(body, x0, params):
+        """Time one component via an in-jit lax.scan whose carry depends on
+        every iteration's output.  Two axon-relay hazards: (a) the relay
+        ACKs block_until_ready BEFORE real execution even for a single
+        call, so the only trustworthy completion barrier is a
+        device-to-host fetch of the result (np.asarray); (b) it dedupes
+        bit-identical executions, so the timed call must use different
+        input bits than the warmup.  N=32 amortizes the d2h fetch."""
+        import numpy as np
+
+        fn = jax.jit(lambda c, p: jax.lax.scan(
+            lambda cc, _: (body(cc, p), None), c, None, length=N)[0])
+        np.asarray(fn(x0, params))  # warmup (compile + execute, fetched)
+        if jnp.issubdtype(x0.dtype, jnp.floating):
+            x1 = x0 * (1.0 + 1e-3)
+        else:
+            x1 = jnp.roll(x0, 1, axis=0)
+        jax.block_until_ready(x1)
+        t0 = time.time()
+        np.asarray(fn(x1, params))  # d2h fetch = true completion barrier
+        return (time.time() - t0) / N * 1000.0
+
+    results = {}
+    rng = jax.random.PRNGKey(0)
+    px = jax.random.normal(rng, (b, res, res, 3), jnp.float32)
+
+    def vae_body(c, p):
+        mean, logvar = bundle.vae.apply(p, c, method="encode_moments")
+        s = jnp.mean(mean.astype(jnp.float32)) + jnp.mean(
+            logvar.astype(jnp.float32)
+        )
+        return c + s.astype(c.dtype) * 1e-3
+
+    results["vae_encode_ms"] = timeit_scan(vae_body, px, bundle.vae_params)
+
+    te = CLIPTextModel(spec.text_encoder, lora_rank=args.lora_rank,
+                       dtype=jnp.bfloat16)
+    ids = jnp.full((b, 77), 49407, jnp.int32).at[:, 0].set(49406)
+
+    def te_body(c, p):
+        h = te.apply(p, c)[0]
+        # carry int ids perturbed by the output to serialize iterations
+        return jnp.clip(
+            c + (jnp.mean(h.astype(jnp.float32)) > 1e9).astype(jnp.int32),
+            0, 49407,
+        )
+
+    results["text_encode_ms"] = timeit_scan(te_body, ids, bundle.te_params)
+
+    tsteps = jnp.full((b,), 500, jnp.int32)
+    hidden = jax.random.normal(rng, (b, 77, spec.unet.cross_attention_dim),
+                               jnp.bfloat16)
+    noisy = jax.random.normal(rng, (b, lat, lat, 4), jnp.float32)
+
+    def unet_body(c, p):
+        return bundle.unet.apply(p, c, tsteps, hidden).astype(jnp.float32)
+
+    results["unet_fwd_ms"] = timeit_scan(unet_body, noisy, bundle.unet_params)
+
+    def loss_h(h, p):
+        return jnp.square(
+            bundle.unet.apply(p, noisy, tsteps, h).astype(jnp.float32)
+        ).mean()
+
+    def unet_bwd_body(c, p):
+        g = jax.grad(loss_h)(c, p)
+        return c + g.astype(c.dtype) * 1e-3
+
+    results["unet_fwd_bwd_to_hidden_ms"] = timeit_scan(
+        unet_bwd_body, hidden, bundle.unet_params
+    )
+
+    jit_step, state, batch, frozen = build_train_bench(
+        args.preset, b, res, args.lora_rank, remat=args.remat
+    )
+    state, m = jit_step(state, batch, frozen)
+    float(m["loss"])  # d2h fetch: true completion barrier
+    t0 = time.time()
+    for _ in range(10):
+        state, m = jit_step(state, batch, frozen)
+    float(m["loss"])
+    results["full_step_ms"] = (time.time() - t0) / 10 * 1000.0
+
+    return {
+        "metric": f"train_step_parts_ms ({args.preset}, bs={b}, {res}px)",
+        "value": round(results["full_step_ms"], 1),
+        "unit": "ms",
+        "vs_baseline": round(
+            (250.0 / 120.0) / (1000.0 / results["full_step_ms"]), 4
+        ),
+        "extra": {k: round(v, 1) for k, v in results.items()},
+    }
+
+
 def bench_e2e(args):
     """Full flagship CLI run (BASELINE.md north star: one-shot instance,
     250 steps x bs 8, 512px, pda+inversion+KPL, under 120 s wall on
@@ -231,7 +343,7 @@ def bench_e2e(args):
 def main():
     _platform_override()
     parser = argparse.ArgumentParser()
-    parser.add_argument("--mode", choices=["train", "sample", "e2e"],
+    parser.add_argument("--mode", choices=["train", "sample", "e2e", "parts"],
                         default="train")
     parser.add_argument("--steps", type=int, default=250,
                         help="e2e mode: train steps")
@@ -248,7 +360,7 @@ def main():
 
     try:
         result = {"train": bench_train, "sample": bench_sample,
-                  "e2e": bench_e2e}[args.mode](args)
+                  "e2e": bench_e2e, "parts": bench_parts}[args.mode](args)
     except Exception as e:  # noqa: BLE001 — bench must always emit one line
         result = {
             "metric": f"bench_{args.mode}_failed",

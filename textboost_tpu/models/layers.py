@@ -56,15 +56,26 @@ class GroupNorm(nn.Module):
                 x, scale, bias, self.num_groups, eps=self.eps, silu=self.silu
             )
 
+        # XLA fallback: flax nn.GroupNorm's exact computation — one-pass
+        # stats (E[x], E[x^2] reduced together; var = E[x^2] - E[x]^2) over
+        # the unsplit spatial axes.  An earlier variant that flattened
+        # spatial dims to [B, rows, G, S] and used .var() (two passes over
+        # the slab) compiled to a measurably slower program on TPU
+        # (~+60 ms/step inside the 512px VAE encoder, where every slab
+        # exceeds the fused kernel's VMEM budget).
         xf = x.astype(jnp.float32)
-        grouped = xf.reshape(x.shape[0], rows, self.num_groups, c // self.num_groups)
-        mean = grouped.mean(axis=(1, 3), keepdims=True)
-        var = grouped.var(axis=(1, 3), keepdims=True)
+        grouped = xf.reshape(x.shape[:-1] + (self.num_groups, c // self.num_groups))
+        red_axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+        mean = grouped.mean(axis=red_axes, keepdims=True)
+        mean2 = jnp.square(grouped).mean(axis=red_axes, keepdims=True)
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
         y = ((grouped - mean) * jax.lax.rsqrt(var + self.eps)).reshape(xf.shape)
-        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        y = (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
+            x.dtype
+        )
         if self.silu:
             y = jax.nn.silu(y)
-        return y.astype(x.dtype)
+        return y
 
 
 def group_norm(

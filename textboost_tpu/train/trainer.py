@@ -514,6 +514,10 @@ class Trainer:
         # Optional jax.profiler trace over steps [5, 15) of this run.
         profile_span = (5, 15) if cfg.profile_dir else None
         accum = max(cfg.gradient_accumulation_steps, 1)
+        self._loop_t = {
+            "dispatch_ms": 0.0, "host_wait_ms": 0.0, "h2d_ms": 0.0,
+            "_step0": self.start_step,
+        }
         next_batch = self._device_batch(next(train_iter), next(prior_iter))
         if jax.process_count() > 1:
             # Compile is process-local and can stagger across hosts by
@@ -542,8 +546,16 @@ class Trainer:
                 batch = next_batch
                 # Async dispatch: the step runs on device while the next
                 # batch's host->device transfer happens below.
+                t0 = time.perf_counter()
                 self.state, metrics = self.train_step(self.state, batch, self.frozen)
-                next_batch = self._device_batch(next(train_iter), next(prior_iter))
+                t1 = time.perf_counter()
+                host = (next(train_iter), next(prior_iter))
+                t2 = time.perf_counter()
+                next_batch = self._device_batch(*host)
+                t3 = time.perf_counter()
+                self._loop_t["dispatch_ms"] += (t1 - t0) * 1000
+                self._loop_t["host_wait_ms"] += (t2 - t1) * 1000
+                self._loop_t["h2d_ms"] += (t3 - t2) * 1000
             step += 1
             if profile_span and step - self.start_step == profile_span[1]:
                 jax.block_until_ready(metrics["loss"])
@@ -554,6 +566,17 @@ class Trainer:
             if step % 10 == 0 or step == cfg.max_train_steps:
                 last_metrics = {k: float(v) for k, v in metrics.items()}
                 last_metrics.update(timing)
+                # Per-window loop decomposition: where the non-device time
+                # goes (step dispatch vs waiting on the host pipeline vs
+                # h2d assembly).  Resets each logging window.
+                n = max(step - self._loop_t.pop("_step0", step - 10), 1)
+                last_metrics.update(
+                    {k: v / n for k, v in self._loop_t.items()}
+                )
+                self._loop_t = {
+                    "dispatch_ms": 0.0, "host_wait_ms": 0.0, "h2d_ms": 0.0,
+                    "_step0": step,
+                }
                 if step % 100 == 0:
                     last_metrics.update(device_memory_stats())
                 self._log_metrics(step, last_metrics)
