@@ -317,6 +317,10 @@ def bench_e2e(args):
         "--template", "imagenet_small",
         "--kpl_weight", "0.1",
         "--checkpointing_steps", "0",
+        # The reference flagship trains fp16 (run_textboost_db.py:147);
+        # bf16 is the TPU equivalent.  Without this the CLI defaults to
+        # full fp32 — ~2x the device time and no flash attention.
+        "--mixed_precision", "bf16",
     ]
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")

@@ -24,6 +24,14 @@ import jax  # noqa: E402
 # var; the config knob is authoritative.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# The sitecustomize pre-import of jax._src binds env vars before conftest
+# runs, so the cache dir env above is a no-op — the config knob is the
+# only thing that works (see utils/platform.py::configure_compilation_cache).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 assert jax.device_count() == 8, (
     f"tests require the 8-device virtual CPU mesh, got {jax.devices()}"

@@ -21,6 +21,10 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache"),
+    )
     jax.distributed.initialize(
         coordinator_address=f"localhost:{port}", num_processes=2, process_id=int(pid)
     )

@@ -90,6 +90,10 @@ def multi_head_attention(
             and not causal
             and n >= 1024
             and (m == n or _FLASH_CROSS)
+            # f32 operands double every VMEM buffer and blow the 16 MB
+            # scoped limit in the fused backward; full-precision runs take
+            # the XLA path instead.
+            and q.dtype in (jnp.bfloat16, jnp.float16)
             and supports_flash(n, m, q.shape[-1])
         )
         impl = "flash" if use_flash else "xla"

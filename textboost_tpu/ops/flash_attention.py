@@ -98,25 +98,41 @@ def _fwd(q, k, v, scale, block_q, block_k, kv_len, interpret):
 
 
 # ---------------------------------------------------------------------------
-# Backward
+# Backward — single fused kernel.
+#
+# Gridded (bh, kv-block); each program computes s / p / dp / ds ONCE for
+# its (q-block, k-block) tiles and accumulates all three gradients:
+# dk/dv for its k-block, and dq for every q-block via an output that is
+# revisited (index map constant in the kv-block dim) and accumulated in
+# fp32 across sequential grid steps.  Versus the classic two-kernel
+# split (dKV gridded over K + a second dQ pass) this removes the
+# recomputation of s and dp — 5 matmuls per tile pair instead of 7 —
+# measured 95 -> ~70 ms/step of flash time in the sd15 train step.
 # ---------------------------------------------------------------------------
-def _bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+def _bwd_fused_kernel(
+    q_ref, k_ref, v_ref, do_ref, stats_ref, dq_ref, dk_ref, dv_ref,
     *, scale, block_q, n_q, block_k, n_kv, kv_len,
 ):
-    # Gridded over K blocks: k_ref/v_ref [BK, D]; loop over all q blocks.
+    # k_ref/v_ref: [BK, D] (this program's k-block); q/do/stats: full N.
+    # stats packs lse (lane 0) and delta (lane 1) into ONE [N, 128] f32
+    # buffer — two separate 128-lane broadcasts blew the 16 MB scoped-VMEM
+    # limit once Mosaic double-buffers every varying operand.
     k = k_ref[:].astype(jnp.float32)
     v = v_ref[:].astype(jnp.float32)
     bk, d = k.shape
     num_qb = n_q // block_q
     kb = pl.program_id(1)
 
+    @pl.when(kb == 0)
+    def _init_dq():
+        dq_ref[:] = jnp.zeros_like(dq_ref)
+
     def body(i, carry):
         dk, dv = carry
         q = q_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32) * scale
         do = do_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[pl.ds(i * block_q, block_q), :1]
-        delta = delta_ref[pl.ds(i * block_q, block_q), :1]
+        lse = stats_ref[pl.ds(i * block_q, block_q), 0:1]
+        delta = stats_ref[pl.ds(i * block_q, block_q), 1:2]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [BQ, BK]
@@ -136,6 +152,10 @@ def _bwd_dkv_kernel(
         dk = dk + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # [BK, D]  (q already has scale folded in)
+        sl = pl.ds(i * block_q, block_q)
+        dq_ref[sl, :] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
         return dk, dv
 
     dk0 = jnp.zeros((bk, d), jnp.float32)
@@ -145,54 +165,23 @@ def _bwd_dkv_kernel(
     dv_ref[:] = dv.astype(dv_ref.dtype)
 
 
-def _bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    *, scale, block_k, n_kv, kv_len,
-):
-    q = q_ref[:].astype(jnp.float32) * scale
-    do = do_ref[:].astype(jnp.float32)
-    lse = lse_ref[:, :1]
-    delta = delta_ref[:, :1]
-    bq, d = q.shape
-    num_kb = n_kv // block_k
-
-    def body(i, dq):
-        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        p = jnp.exp(s - lse)
-        if kv_len < n_kv:
-            col = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
-            p = jnp.where(col < kv_len, p, 0.0)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - delta)
-        return dq + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((bq, d), jnp.float32))
-    dq_ref[:] = (dq * scale).astype(dq_ref.dtype)
-
-
 def _bwd(scale, block_q, block_k, kv_len, interpret, residuals, dout):
     q, k, v, out, lse = residuals
     bh, n, d = q.shape
     n_kv = k.shape[1]
     delta = jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32), axis=-1,
                     keepdims=True)  # [BH, N, 1]
-    lse_b = jnp.broadcast_to(lse, (bh, n, 128))
-    delta_b = jnp.broadcast_to(delta, (bh, n, 128))
+    # lse in lane 0, delta in lane 1, zero-padded to the 128-lane tile.
+    stats = jnp.pad(
+        jnp.concatenate([lse, delta], axis=-1), ((0, 0), (0, 0), (0, 126))
+    )
 
-    dkv_kernel = functools.partial(
-        _bwd_dkv_kernel, scale=scale, block_q=block_q, n_q=n,
+    kernel = functools.partial(
+        _bwd_fused_kernel, scale=scale, block_q=block_q, n_q=n,
         block_k=block_k, n_kv=n_kv, kv_len=kv_len,
     )
-    dk, dv = pl.pallas_call(
-        dkv_kernel,
+    dq32, dk, dv = pl.pallas_call(
+        kernel,
         grid=(bh, n_kv // block_k),
         in_specs=[
             pl.BlockSpec((None, n, d), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -200,39 +189,24 @@ def _bwd(scale, block_q, block_k, kv_len, interpret, residuals, dout):
             pl.BlockSpec((None, block_k, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, n, d), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, n, 128), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, n, 128), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
+            # dq: revisited across the kv-block dim; fp32 accumulator.
+            pl.BlockSpec((None, n, d), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, block_k, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, block_k, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
             jax.ShapeDtypeStruct((bh, n_kv, d), q.dtype),
             jax.ShapeDtypeStruct((bh, n_kv, d), q.dtype),
         ],
-        interpret=interpret,
-    )(q, k, v, dout, lse_b, delta_b)
-
-    dq_kernel = functools.partial(
-        _bwd_dq_kernel, scale=scale, block_k=block_k, n_kv=n_kv, kv_len=kv_len
-    )
-    dq = pl.pallas_call(
-        dq_kernel,
-        grid=(bh, n // block_q),
-        in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, n_kv, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, n_kv, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (None, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
         interpret=interpret,
-    )(q, k, v, dout, lse_b, delta_b)
+    )(q, k, v, dout, stats)
+    dq = (dq32 * scale).astype(q.dtype)
     return dq, dk, dv
 
 

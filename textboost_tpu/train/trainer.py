@@ -100,6 +100,10 @@ class Trainer:
             "bf16": jnp.bfloat16,
         }[cfg.mixed_precision]
         self.weight_dtype = dtype
+        t_setup = time.perf_counter()
+        mark = lambda what: logger.info(
+            "setup: %s at +%.1fs", what, time.perf_counter() - t_setup
+        )
 
         # ---- models (train_textboost.py:630-654) ----
         self.bundle: ModelBundle = load_models(
@@ -112,6 +116,7 @@ class Trainer:
             remat=cfg.gradient_checkpointing,
         )
         spec = self.bundle.spec
+        mark("models loaded")
         self.tokenizer = load_tokenizer(
             cfg.tokenizer_name or cfg.pretrained_model_name_or_path
         )
@@ -165,6 +170,7 @@ class Trainer:
             self.token_to_id.update(aug_dict)
 
         self.first_added_id = first_added_id
+        mark("token surgery done")
         max_norm, mean_norm = embedding_norm_stats(emb, first_added_id)
         logger.info("Max norm: %s  Mean norm: %s", max_norm, mean_norm)
         self.mean_norm = mean_norm
@@ -227,6 +233,7 @@ class Trainer:
         if not getattr(cfg, "null_embedding_path", None):
             hidden, _ = jax.jit(self.frozen_te.apply)(self.frozen_te_params, ids)
             self.null_embedding = jnp.asarray(np.asarray(hidden[0], np.float32))
+        mark("null embedding ready")
 
         # ---- schedule ----
         self.schedule = NoiseSchedule.create(
@@ -462,6 +469,7 @@ class Trainer:
             opt_state=opt_state,
             rng=jax.random.PRNGKey(cfg.seed),
         )
+        mark("mesh + step + state built")
         self.start_step = 0
         if cfg.resume_from_checkpoint:
             path = (
@@ -549,6 +557,11 @@ class Trainer:
                 t0 = time.perf_counter()
                 self.state, metrics = self.train_step(self.state, batch, self.frozen)
                 t1 = time.perf_counter()
+                if step == self.start_step and t1 - t0 > 5.0:
+                    logger.info(
+                        "first step dispatch (compile/cache-load): %.1fs",
+                        t1 - t0,
+                    )
                 host = (next(train_iter), next(prior_iter))
                 t2 = time.perf_counter()
                 next_batch = self._device_batch(*host)

@@ -14,3 +14,23 @@ def apply_platform_override():
         import jax
 
         jax.config.update("jax_platforms", platform)
+    configure_compilation_cache()
+
+
+def configure_compilation_cache():
+    """Point the persistent compilation cache at JAX_COMPILATION_CACHE_DIR
+    (default /tmp/jax_comp_cache) via the config knob.
+
+    The env var alone does NOT work in this environment: a sitecustomize
+    hook pre-imports jax._src at interpreter startup, so jax's config has
+    already bound (empty) env vars before any user code can set os.environ.
+    Only a shell-level export or jax.config.update takes effect — without
+    this call every process recompiles the ~170 s train step from scratch.
+    """
+    import jax
+
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+    jax.config.update("jax_compilation_cache_dir", path)
+    # Executables round-trip through the relay in seconds; cache everything
+    # that took a nontrivial compile.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 
+from textboost_tpu.utils.platform import configure_compilation_cache  # noqa: E402
+
+configure_compilation_cache()
+
 
 def main():
     ap = argparse.ArgumentParser()
