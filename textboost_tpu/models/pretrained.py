@@ -106,9 +106,26 @@ def load_models(
     unet = UNet2DCondition(spec.unet, dtype=dtype, remat=remat)
     vae = AutoencoderKL(spec.vae, dtype=vae_dtype or dtype)
 
-    te_params = _init_params(spec, text_encoder, "te", seed)
-    unet_params = _init_params(spec, unet, "unet", seed + 1)
-    vae_params = _init_params(spec, vae, "vae", seed + 2)
+    # ONE jitted program for all three inits: on the tunneled TPU every
+    # compile round-trip has tens of seconds of fixed overhead, so three
+    # separate init programs cost far more wall time than one merged one.
+    def _init_all(r_te, r_unet, r_vae, r_vae_sample):
+        te_p = text_encoder.init(r_te, jnp.zeros((1, 77), jnp.int32))
+        unet_p = unet.init(
+            r_unet,
+            jnp.zeros((1, spec.unet.sample_size, spec.unet.sample_size, 4)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, spec.unet.cross_attention_dim)),
+        )
+        vae_p = vae.init(r_vae, jnp.zeros((1, 64, 64, 3)), r_vae_sample)
+        return te_p, unet_p, vae_p
+
+    te_params, unet_params, vae_params = jax.jit(_init_all)(
+        jax.random.PRNGKey(seed),
+        jax.random.PRNGKey(seed + 1),
+        jax.random.PRNGKey(seed + 2),
+        jax.random.PRNGKey(0),
+    )
 
     if snapshot_dir:
         def _load(name, template):

@@ -46,17 +46,14 @@ def expand_placeholder(placeholder_token: str, num_vectors: int) -> List[str]:
     ]
 
 
-def add_token(
-    embedding: np.ndarray,
-    tokenizer,
-    placeholder_token: str,
-    initializer_token: str,
-) -> TokenSurgeryResult:
-    """Add placeholder token(s) initialized from the initializer's embeddings.
-
-    One placeholder per initializer sub-token; new embedding rows are copies
-    of the initializer-token rows (utils.py:117-166).
-    """
+def plan_token_addition(
+    tokenizer, placeholder_token: str, initializer_token: str
+) -> Tuple[List[str], List[int], List[int]]:
+    """Tokenizer-side half of add_token: registers the placeholder tokens
+    and returns (placeholder_tokens, placeholder_ids, initializer_ids)
+    WITHOUT touching the embedding matrix.  Lets the trainer grow the
+    matrix on-device in one op instead of round-tripping the ~150 MB
+    matrix over the host<->device link (utils.py:117-166 semantics)."""
     initializer_ids = tokenizer.encode(initializer_token, add_special_tokens=False)
     num_vectors = len(initializer_ids)
     placeholder_tokens = expand_placeholder(placeholder_token, num_vectors)
@@ -68,14 +65,30 @@ def add_token(
             "Please pass a different placeholder_token."
         )
     placeholder_ids = tokenizer.convert_tokens_to_ids(placeholder_tokens)
+    return placeholder_tokens, list(placeholder_ids), list(initializer_ids)
 
+
+def add_token(
+    embedding: np.ndarray,
+    tokenizer,
+    placeholder_token: str,
+    initializer_token: str,
+) -> TokenSurgeryResult:
+    """Add placeholder token(s) initialized from the initializer's embeddings.
+
+    One placeholder per initializer sub-token; new embedding rows are copies
+    of the initializer-token rows (utils.py:117-166).
+    """
+    placeholder_tokens, placeholder_ids, initializer_ids = plan_token_addition(
+        tokenizer, placeholder_token, initializer_token
+    )
     new_vocab = len(tokenizer)
     hidden = embedding.shape[1]
     grown = np.zeros((new_vocab, hidden), dtype=embedding.dtype)
     grown[: embedding.shape[0]] = embedding
     for pid, iid in zip(placeholder_ids, initializer_ids):
         grown[pid] = embedding[iid]
-    return TokenSurgeryResult(grown, placeholder_tokens, list(placeholder_ids))
+    return TokenSurgeryResult(grown, placeholder_tokens, placeholder_ids)
 
 
 def add_augmentation_tokens(

@@ -97,10 +97,10 @@ def make_train_step(
         jnp.log(snr_timestep_weights(schedule)) if config.weighted_timesteps else None
     )
 
-    def encode_text(params, input_ids, apply_fn):
+    def encode_text(params, input_ids, apply_fn, null_emb):
         hidden, _ = apply_fn(params, input_ids)
         return apply_null_embedding_patch(
-            hidden, input_ids, null_embedding, config.eos_token_id, config.fixed_special
+            hidden, input_ids, null_emb, config.eos_token_id, config.fixed_special
         )
 
     def loss_fn(trainable, frozen, batch, noisy, noise, latents, timesteps):
@@ -112,7 +112,16 @@ def make_train_step(
         else:
             te_params = trainable
             unet_params = frozen["unet"]
-        hidden = encode_text(te_params, batch["input_ids"], text_encoder_apply)
+        # Traced input when provided (keeps the compiled step independent
+        # of the init/model values); closure constant otherwise.
+        null_emb = (
+            frozen.get("null_embedding")
+            if isinstance(frozen, dict) and "null_embedding" in frozen
+            else null_embedding
+        )
+        hidden = encode_text(
+            te_params, batch["input_ids"], text_encoder_apply, null_emb
+        )
         model_pred = unet_apply(unet_params, noisy, timesteps, hidden)
 
         if config.prediction_type == "epsilon":
@@ -153,11 +162,11 @@ def make_train_step(
         kpl = 0.0
         if config.kpl_weight > 0.0:
             prior_ids = batch["prior_input_ids"]
-            tuned = encode_text(te_params, prior_ids, text_encoder_apply).astype(
-                jnp.float32
-            )
+            tuned = encode_text(
+                te_params, prior_ids, text_encoder_apply, null_emb
+            ).astype(jnp.float32)
             ref = encode_text(
-                frozen["te"], prior_ids, frozen_text_encoder_apply
+                frozen["te"], prior_ids, frozen_text_encoder_apply, null_emb
             ).astype(jnp.float32)
             ref = jax.lax.stop_gradient(ref)
             if config.kpl_type == "cos":
@@ -215,9 +224,23 @@ def make_train_step(
         te_params = optax.apply_updates(state.te_params, updates)
 
         # ---- post-step embedding renorm (train_textboost.py:1138-1150) ----
-        if config.embedding_target_norm > 0.0:
+        # The target norm is data-dependent (mean pre-training embedding
+        # norm) — passed as a traced scalar in `frozen` so the compiled
+        # step is reusable across instances/initializers; a value baked
+        # into config would change the program hash (and force a full
+        # recompile) whenever the initializer token changes.
+        target_norm = (
+            frozen.get("embedding_target_norm")
+            if isinstance(frozen, dict) and "embedding_target_norm" in frozen
+            else (
+                config.embedding_target_norm
+                if config.embedding_target_norm > 0.0
+                else None
+            )
+        )
+        if target_norm is not None:
             te_params = renorm_added_embeddings(
-                te_params, config.first_added_token_id, config.embedding_target_norm
+                te_params, config.first_added_token_id, target_norm
             )
 
         metrics = {

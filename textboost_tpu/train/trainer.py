@@ -12,7 +12,7 @@ import json
 import logging
 import os
 import time
-from typing import Dict
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -40,16 +40,33 @@ from ..parallel.mesh import (
     shard_params,
 )
 from ..pipelines import TextToImagePipeline
-from ..tokens.surgery import (
-    add_augmentation_tokens,
-    add_token,
-    embedding_norm_stats,
-)
+from ..tokens.surgery import plan_token_addition
 from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
 from .config import TrainConfig
 from .step import StepConfig, TextBoostTrainState, make_train_step
 
 logger = logging.getLogger("textboost_tpu")
+
+
+def _embedding_norm_stats_device(emb, *, first_added_id: int):
+    """Device-side twin of tokens.surgery.embedding_norm_stats: max norm
+    over rows [0, first_added_id-2), mean over the full grown matrix
+    (train_textboost.py:1003-1021) — returns two scalars so only 8 bytes
+    cross the tunnel instead of the matrix."""
+    norms = jnp.linalg.norm(emb.astype(jnp.float32), axis=-1)
+    return norms[: max(first_added_id - 2, 1)].max(), norms.mean()
+
+
+class _RowView:
+    """Sparse stand-in for the embedding matrix: supports only
+    `view[token_id]` for the ids it was built with (export path)."""
+
+    def __init__(self, rows: np.ndarray, id_to_pos: Dict[int, int]):
+        self._rows = rows
+        self._map = id_to_pos
+
+    def __getitem__(self, tid):
+        return self._rows[self._map[int(tid)]]
 
 
 class Trainer:
@@ -138,13 +155,17 @@ class Trainer:
         self.frozen_te_params = {"params": dict(self.bundle.te_params["params"])}
 
         # ---- token surgery (:665-688) ----
+        # Tokenizer bookkeeping on host, matrix growth ON DEVICE: one
+        # gather+concat jit instead of fetching the ~150 MB embedding to
+        # the host and re-uploading it (the d2h leg of the tunnel runs at
+        # ~1-5 MB/s — it dominated cold-start wall time).
         self.concepts = cfg.resolve_concepts()
-        emb = np.asarray(
-            self.bundle.te_params["params"]["token_embedding"], np.float32
-        )
+        emb_dev = self.bundle.te_params["params"]["token_embedding"]
         first_added_id = len(self.tokenizer)
         self.token_to_id: Dict[str, int] = {}
         self.concept_tokens: Dict[str, str] = {}
+        init_row_ids: List[int] = []
+        new_row_ids: List[int] = []
         for concept in self.concepts:
             # Surgery targets placeholder_token; instance_token is then
             # overwritten with the expanded placeholders, matching the
@@ -153,38 +174,94 @@ class Trainer:
             # join the placeholders with spaces instead of str(list).
             placeholder = concept.get("placeholder_token") or concept["instance_token"]
             initializer = concept.get("initializer_token") or cfg.initializer_token
-            res = add_token(emb, self.tokenizer, placeholder, initializer)
-            emb = res.embedding
-            for tok, tid in zip(res.placeholder_tokens, res.placeholder_token_ids):
+            toks, pids, iids = plan_token_addition(
+                self.tokenizer, placeholder, initializer
+            )
+            init_row_ids += iids
+            new_row_ids += pids
+            for tok, tid in zip(toks, pids):
                 self.token_to_id[tok] = tid
             # Multi-vector prompts use the expanded identifier.
-            joined = " ".join(res.placeholder_tokens)
+            joined = " ".join(toks)
             self.concept_tokens[concept["instance_token"]] = joined
             self.concept_tokens[placeholder] = joined
 
         self.caption_map = None
         if cfg.augment_inversion:
-            emb, aug_ids, aug_dict, self.caption_map = add_augmentation_tokens(
-                emb, self.tokenizer, cfg.augment_ops
+            from ..tokens.surgery import (
+                OBJECT_AUGMENTATIONS,
+                STYLE_AUGMENTATIONS,
             )
-            self.token_to_id.update(aug_dict)
 
+            bank = (
+                OBJECT_AUGMENTATIONS
+                if cfg.augment_ops == "object"
+                else STYLE_AUGMENTATIONS
+            )
+            self.caption_map = {}
+            for placeholder, initializer in bank.items():
+                toks, pids, iids = plan_token_addition(
+                    self.tokenizer, placeholder, initializer
+                )
+                init_row_ids += iids
+                new_row_ids += pids
+                for tok, tid in zip(toks, pids):
+                    self.token_to_id[tok] = tid
+                self.caption_map[placeholder] = " ".join(toks)
+
+        # New rows land appended in id order (tokenizer grows sequentially).
+        assert new_row_ids == list(
+            range(first_added_id, first_added_id + len(new_row_ids))
+        ), f"non-sequential added token ids: {new_row_ids}"
+        src = jnp.asarray(init_row_ids, jnp.int32)
+        null_ids = jnp.asarray(
+            np.asarray(
+                self.tokenizer(
+                    "", padding="max_length", max_length=77, return_tensors="np"
+                )["input_ids"],
+                np.int32,
+            )
+        )
+
+        # ONE merged setup program (each compile round-trip on the tunneled
+        # TPU has tens of seconds of fixed overhead): embedding growth +
+        # norm stats + null-embedding forward + the donation-safety copy of
+        # the trainable tree, in a single jit.
+        def _setup_program(te_tree, src_ids, nids):
+            e = te_tree["params"]["token_embedding"]
+            grown = jnp.concatenate(
+                [e.astype(jnp.float32), e[src_ids].astype(jnp.float32)], axis=0
+            )
+            max_n, mean_n = _embedding_norm_stats_device(
+                grown, first_added_id=first_added_id
+            )
+            hidden, _ = self.frozen_te.apply(
+                {"params": te_tree["params"]}, nids
+            )
+            null_emb = hidden[0].astype(jnp.float32)
+            new_params = dict(te_tree["params"])
+            new_params["token_embedding"] = grown
+            trainable = jax.tree.map(jnp.copy, {"params": new_params})
+            return trainable, null_emb, max_n, mean_n
+
+        trainable_tree, null_emb_dev, max_n, mean_n = jax.jit(_setup_program)(
+            self.bundle.te_params, src, null_ids
+        )
         self.first_added_id = first_added_id
         mark("token surgery done")
-        max_norm, mean_norm = embedding_norm_stats(emb, first_added_id)
+        max_norm, mean_norm = float(max_n), float(mean_n)
         logger.info("Max norm: %s  Mean norm: %s", max_norm, mean_norm)
         self.mean_norm = mean_norm
+        new_vocab = len(self.tokenizer)
 
         # Rebuild text encoder with the grown vocab.
         self.text_encoder = CLIPTextModel(
             spec.text_encoder,
             lora_rank=cfg.lora_rank,
             dtype=dtype,
-            vocab_size_override=emb.shape[0],
+            vocab_size_override=new_vocab,
         )
-        te_params = dict(self.bundle.te_params["params"])
-        te_params["token_embedding"] = jnp.asarray(emb)
-        self.te_params = {"params": te_params}
+        self.te_params = trainable_tree
 
         # ---- optional UNet cross-attn LoRA (:712-721) ----
         if cfg.unet_params_to_train not in ("none", "crossattn_kv"):
@@ -222,17 +299,9 @@ class Trainer:
                     ),
                 )
             )
-        ids = jnp.asarray(
-            np.asarray(
-                self.tokenizer(
-                    "", padding="max_length", max_length=77, return_tensors="np"
-                )["input_ids"],
-                np.int32,
-            )
-        )
         if not getattr(cfg, "null_embedding_path", None):
-            hidden, _ = jax.jit(self.frozen_te.apply)(self.frozen_te_params, ids)
-            self.null_embedding = jnp.asarray(np.asarray(hidden[0], np.float32))
+            # Computed inside the merged setup program above.
+            self.null_embedding = null_emb_dev
         mark("null embedding ready")
 
         # ---- schedule ----
@@ -404,10 +473,10 @@ class Trainer:
         self.vae_params = shard_params(self.bundle.vae_params, self.mesh, False)
         self.frozen_te_params = shard_params(self.frozen_te_params, self.mesh, tp)
         # The trainable tree is donated every step — it must not alias the
-        # frozen/bundle buffers, so force fresh copies through one jit.
-        self.te_params = jax.jit(lambda t: jax.tree.map(jnp.copy, t))(
-            shard_params(self.te_params, self.mesh, False)
-        )
+        # frozen/bundle buffers.  The merged setup program already emitted
+        # fresh copies (jnp.copy inside _setup_program), so a plain
+        # device_put onto the mesh sharding suffices — no extra program.
+        self.te_params = shard_params(self.te_params, self.mesh, False)
 
         step_config = self.step_config = StepConfig(
             train_unet=self.train_unet,
@@ -449,6 +518,15 @@ class Trainer:
                 "vae": self.vae_params,
                 "te": self.frozen_te_params,
             }
+        # Data-dependent values as traced inputs — keeps the compiled step
+        # byte-identical across instances/initializers/base weights
+        # (cache-stable).
+        self.frozen["embedding_target_norm"] = jnp.asarray(
+            mean_norm, jnp.float32
+        )
+        self.frozen["null_embedding"] = jnp.asarray(
+            self.null_embedding, jnp.float32
+        )
         rep = replicated(self.mesh)
         self.train_step = jax.jit(
             raw_step,
@@ -469,6 +547,12 @@ class Trainer:
             opt_state=opt_state,
             rng=jax.random.PRNGKey(cfg.seed),
         )
+        # Commit the initial state to the SAME replicated NamedSharding the
+        # step emits via out_shardings: freshly-jitted setup outputs carry
+        # SingleDeviceSharding, so without this the first call traces one
+        # signature and the donated output of step 1 traces ANOTHER —
+        # compiling the ~170 s train step twice per cold start.
+        self.state = jax.device_put(self.state, rep)
         mark("mesh + step + state built")
         self.start_step = 0
         if cfg.resume_from_checkpoint:
@@ -647,10 +731,16 @@ class Trainer:
                 base_model_name=self.config.pretrained_model_name_or_path
                 or self.bundle.spec.name,
             )
-        emb = np.asarray(
-            self._te_tree()["params"]["token_embedding"], np.float32
+        # Fetch ONLY the learned rows (d2h over the tunnel is ~MB/s slow;
+        # the full matrix is ~150 MB, the added rows a few KB).
+        emb_dev = self._te_tree()["params"]["token_embedding"]
+        ids = sorted(set(self.token_to_id.values()))
+        rows = np.asarray(
+            jax.jit(lambda e, i: e[i])(emb_dev, jnp.asarray(ids, jnp.int32)),
+            np.float32,
         )
-        export_token_embeddings(emb, self.token_to_id, out)
+        sparse = _RowView(rows, {tid: k for k, tid in enumerate(ids)})
+        export_token_embeddings(sparse, self.token_to_id, out)
 
     # ------------------------------------------------------------------
     def make_pipeline(self) -> TextToImagePipeline:

@@ -31,6 +31,15 @@ def configure_compilation_cache():
 
     path = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
     jax.config.update("jax_compilation_cache_dir", path)
-    # Executables round-trip through the relay in seconds; cache everything
-    # that took a nontrivial compile.
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # On the tunneled TPU, deserialized executables EXECUTE pathologically
+    # slowly (measured: model-init programs ~250 s from cache vs ~30 s
+    # freshly compiled), so only programs whose compile is truly enormous
+    # (the ~170 s train step) are worth caching there.  On CPU the cache
+    # is local and fast — cache everything nontrivial.
+    on_cpu = (
+        os.environ.get("TEXTBOOST_PLATFORM") == "cpu"
+        or jax.config.jax_platforms == "cpu"
+    )
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", 0.5 if on_cpu else 120.0
+    )
