@@ -17,6 +17,35 @@ def apply_platform_override():
     configure_compilation_cache()
 
 
+def start_device_warmup():
+    """Pay the relay's per-process first-execution tax in the background.
+
+    On the tunneled TPU the FIRST real device sync of a process (any
+    device->host fetch) costs ~1-4 minutes regardless of workload — an
+    infra warmup, not compute.  Kicking a tiny fetch off in a daemon
+    thread lets it overlap the setup-phase remote compiles instead of
+    serializing after them.  No-op off the TPU."""
+    import threading
+
+    if os.environ.get("TEXTBOOST_MULTIHOST") == "1":
+        # jax.distributed.initialize() must win the backend-init race.
+        return
+
+    def _warm():
+        try:
+            import numpy as np
+            import jax
+            import jax.numpy as jnp
+
+            if jax.default_backend() not in ("tpu",):
+                return
+            np.asarray(jnp.full((8, 128), 1.234567))
+        except Exception:  # noqa: BLE001 — warmup must never break startup
+            pass
+
+    threading.Thread(target=_warm, daemon=True, name="device-warmup").start()
+
+
 def configure_compilation_cache():
     """Point the persistent compilation cache at JAX_COMPILATION_CACHE_DIR
     (default /tmp/jax_comp_cache) via the config knob.

@@ -19,9 +19,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 
 
 def _platform_override():
-    from textboost_tpu.utils.platform import apply_platform_override
+    from textboost_tpu.utils.platform import (
+        apply_platform_override,
+        start_device_warmup,
+    )
 
     apply_platform_override()
+    # Overlaps the relay's per-process first-sync tax with setup compiles.
+    start_device_warmup()
 
 
 
