@@ -53,6 +53,29 @@ def _init_params(spec: ModelSpec, module, kind: str, seed: int):
     )
 
 
+def resolve_spec_name(
+    model_name_or_path: Optional[str], preset: Optional[str]
+) -> Optional[str]:
+    """Light host-only resolution of the spec name load_models would use.
+
+    Returns None for layouts that need deep inspection (raw diffusers
+    dirs) — callers use this to decide whether the train step can be
+    AOT-compiled before any model is loaded."""
+    if model_name_or_path and os.path.isdir(model_name_or_path):
+        spec_file = os.path.join(model_name_or_path, "spec.json")
+        if os.path.isfile(spec_file):
+            with open(spec_file) as f:
+                return json.load(f)["name"]
+        if os.path.isfile(os.path.join(model_name_or_path, "model_index.json")):
+            return None
+    name = preset or model_name_or_path or "sd15"
+    try:
+        get_spec(name)
+    except Exception:  # noqa: BLE001 — unknown name: let load_models error
+        return None
+    return name
+
+
 def save_snapshot(bundle: ModelBundle, out_dir: str):
     os.makedirs(out_dir, exist_ok=True)
     for name, params in (

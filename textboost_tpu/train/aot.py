@@ -1,0 +1,235 @@
+"""Background AOT compilation of the train step.
+
+The compiled train step is pure shape-in/shape-out: every data-dependent
+value (grown embedding matrix, null embedding, target norm) is a traced
+input, so the program can be lowered and compiled from ShapeDtypeStructs
+alone — BEFORE any model weights exist.  On the tunneled TPU the step
+compile/cache-load costs 25-170 s; launching it in a daemon thread at
+setup start overlaps it with model-init compiles and the relay's
+first-sync tax instead of serializing after them.
+
+The thread builds its OWN module/optimizer/schedule instances from
+(config, spec) — flax modules are cheap config dataclasses, and two
+identically-configured instances trace to the identical HLO, so the
+executable it produces is exactly the one the normal jit path would
+compile.  If anything mismatches at call time the trainer falls back to
+its plain jit (which then hits the persistent cache this thread wrote).
+"""
+from __future__ import annotations
+
+import logging
+import threading
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+logger = logging.getLogger("textboost_tpu")
+
+
+class StepAot:
+    """Holder for the background compile result."""
+
+    def __init__(self):
+        self._done = threading.Event()
+        self._compiled = None
+        self._error: Optional[str] = None
+
+    def result(self, timeout: float = 900.0):
+        """The compiled executable, or None (not ready in time / failed)."""
+        if not self._done.wait(timeout):
+            logger.info("step AOT: not ready after %.0fs; using plain jit", timeout)
+            return None
+        if self._compiled is None and self._error:
+            logger.info("step AOT failed (%s); using plain jit", self._error)
+        return self._compiled
+
+
+def build_step_config(cfg, spec, first_added_id: int):
+    """The StepConfig both the trainer and the AOT thread must share —
+    byte-identical config ⇒ byte-identical traced program."""
+    from .step import StepConfig
+
+    return StepConfig(
+        train_unet=cfg.unet_params_to_train == "crossattn_kv",
+        prediction_type=spec.scheduler.prediction_type,
+        vae_scaling=spec.vae.scaling_factor,
+        kpl_weight=cfg.kpl_weight,
+        kpl_type=cfg.kpl_type,
+        with_image_prior=cfg.with_image_prior,
+        image_ppl_weight=cfg.image_ppl_weight,
+        max_grad_norm=cfg.max_grad_norm,
+        first_added_token_id=first_added_id,
+        # Travels as a traced scalar in `frozen`; 0.0 here keeps the
+        # config (and so the program hash) instance-independent.
+        embedding_target_norm=0.0,
+        mixing=cfg.mixing,
+        augment_ops=cfg.augment_ops,
+        weighted_timesteps=not cfg.disable_weighted_sample,
+        eos_token_id=spec.text_encoder.eos_token_id,
+    )
+
+
+def launch_step_aot(cfg, spec, *, vocab_size: int, first_added_id: int,
+                    mesh, dtype) -> Optional[StepAot]:
+    """Start the background compile; returns None when the configuration
+    is outside the supported envelope (the trainer then just uses its
+    plain jit path)."""
+    if (
+        cfg.unet_params_to_train != "none"
+        or cfg.with_image_prior
+        or cfg.mesh_tp > 1
+        # The trainer's first-step swap runs exactly one micro-batch, which
+        # only equals one counted step without accumulation.
+        or cfg.gradient_accumulation_steps > 1
+        or jax.process_count() > 1
+        or jax.default_backend() != "tpu"
+    ):
+        return None
+
+    holder = StepAot()
+
+    def _build():
+        try:
+            holder._compiled = _compile_step(
+                cfg, spec, vocab_size, first_added_id, mesh, dtype
+            )
+        except Exception as e:  # noqa: BLE001 — fallback path must survive
+            holder._error = repr(e)[:200]
+        finally:
+            holder._done.set()
+
+    threading.Thread(target=_build, daemon=True, name="step-aot").start()
+    return holder
+
+
+def _compile_step(cfg, spec, vocab_size, first_added_id, mesh, dtype) -> Any:
+    from ..lora.partition import lr_schedule, make_optimizer
+    from ..models import CLIPTextModel, UNet2DCondition
+    from ..models.vae import AutoencoderKL
+    from ..ops.schedule import NoiseSchedule
+    from ..parallel.mesh import batch_sharding, replicated
+    from .step import TextBoostTrainState, make_train_step
+
+    rep = replicated(mesh)
+
+    # Modules: mirror load_models + trainer construction exactly.
+    text_encoder = CLIPTextModel(
+        spec.text_encoder,
+        lora_rank=cfg.lora_rank,
+        dtype=dtype,
+        vocab_size_override=vocab_size,
+    )
+    frozen_te = CLIPTextModel(spec.text_encoder, dtype=dtype)
+    bundle_te = CLIPTextModel(spec.text_encoder, lora_rank=cfg.lora_rank, dtype=dtype)
+    unet = UNet2DCondition(spec.unet, dtype=dtype, remat=cfg.gradient_checkpointing)
+    vae = AutoencoderKL(
+        spec.vae, dtype=jnp.float32 if cfg.vae_fp32 else dtype
+    )
+
+    key = jax.random.PRNGKey(0)
+    ids1 = jnp.zeros((1, 77), jnp.int32)
+
+    def sds(tree, sharding):
+        return jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding),
+            tree,
+        )
+
+    te_abs = jax.eval_shape(text_encoder.init, key, ids1)
+    # Trainable embedding matrix is promoted to f32 by the setup program.
+    te_abs = jax.tree.map(lambda x: x, te_abs)
+    te_abs["params"] = dict(te_abs["params"])
+    emb = te_abs["params"]["token_embedding"]
+    te_abs["params"]["token_embedding"] = jax.ShapeDtypeStruct(
+        emb.shape, jnp.float32
+    )
+    frozen_te_abs = {"params": dict(jax.eval_shape(bundle_te.init, key, ids1)["params"])}
+    unet_abs = jax.eval_shape(
+        unet.init,
+        key,
+        jnp.zeros((1, spec.unet.sample_size, spec.unet.sample_size, 4)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, spec.unet.cross_attention_dim)),
+    )
+    vae_abs = jax.eval_shape(vae.init, key, jnp.zeros((1, 64, 64, 3)), key)
+
+    lr, emb_lr = cfg.learning_rate, cfg.emb_learning_rate
+    if cfg.scale_lr:
+        scale = (
+            cfg.gradient_accumulation_steps
+            * cfg.train_batch_size
+            * jax.process_count()
+        )
+        lr, emb_lr = lr * scale, emb_lr * scale
+    optimizer = make_optimizer(
+        lr_schedule(cfg.lr_scheduler, lr, cfg.lr_warmup_steps, cfg.max_train_steps),
+        lr_schedule(
+            cfg.lr_scheduler, emb_lr, cfg.lr_warmup_steps, cfg.max_train_steps
+        ),
+        te_abs,
+        beta1=cfg.adam_beta1,
+        beta2=cfg.adam_beta2,
+        weight_decay=cfg.adam_weight_decay,
+        eps=cfg.adam_epsilon,
+        accumulate_steps=cfg.gradient_accumulation_steps,
+    )
+    schedule = NoiseSchedule.create(
+        num_train_timesteps=spec.scheduler.num_train_timesteps,
+        beta_start=spec.scheduler.beta_start,
+        beta_end=spec.scheduler.beta_end,
+        beta_schedule=spec.scheduler.beta_schedule,
+        prediction_type=spec.scheduler.prediction_type,
+    )
+    config = build_step_config(cfg, spec, first_added_id)
+    raw_step = make_train_step(
+        text_encoder_apply=text_encoder.apply,
+        frozen_text_encoder_apply=frozen_te.apply,
+        unet_apply=unet.apply,
+        vae_encode_moments=lambda p, x: vae.apply(p, x, method="encode_moments"),
+        optimizer=optimizer,
+        schedule=schedule,
+        config=config,
+        null_embedding=None,  # travels in `frozen`
+    )
+
+    opt_abs = jax.eval_shape(optimizer.init, te_abs)
+    rng_abs = jax.eval_shape(lambda: jax.random.PRNGKey(cfg.seed))
+    state_abs = TextBoostTrainState(
+        step=jax.ShapeDtypeStruct((), jnp.int32, sharding=rep),
+        te_params=sds(te_abs, rep),
+        opt_state=sds(opt_abs, rep),
+        rng=jax.ShapeDtypeStruct(rng_abs.shape, rng_abs.dtype, sharding=rep),
+    )
+    frozen_abs = {
+        "unet": sds(unet_abs, rep),
+        "vae": sds(vae_abs, rep),
+        "te": sds(frozen_te_abs, rep),
+        "embedding_target_norm": jax.ShapeDtypeStruct((), jnp.float32, sharding=rep),
+        "null_embedding": jax.ShapeDtypeStruct(
+            (
+                spec.text_encoder.max_position_embeddings,
+                spec.text_encoder.hidden_size,
+            ),
+            jnp.float32,
+            sharding=rep,
+        ),
+    }
+    b = cfg.train_batch_size // jax.process_count()
+    res = cfg.resolution
+    batch_abs = {
+        "pixel_values": jax.ShapeDtypeStruct(
+            (b, res, res, 3), jnp.uint8, sharding=batch_sharding(mesh, 4)
+        ),
+        "input_ids": jax.ShapeDtypeStruct(
+            (b, 77), jnp.int32, sharding=batch_sharding(mesh, 2)
+        ),
+        "prior_input_ids": jax.ShapeDtypeStruct(
+            (b, 77), jnp.int32, sharding=batch_sharding(mesh, 2)
+        ),
+    }
+
+    jit_step = jax.jit(raw_step, donate_argnums=(0,), out_shardings=(rep, rep))
+    compiled = jit_step.lower(state_abs, batch_abs, frozen_abs).compile()
+    logger.info("step AOT: compiled in background")
+    return compiled

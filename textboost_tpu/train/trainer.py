@@ -43,7 +43,7 @@ from ..pipelines import TextToImagePipeline
 from ..tokens.surgery import plan_token_addition
 from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
 from .config import TrainConfig
-from .step import StepConfig, TextBoostTrainState, make_train_step
+from .step import TextBoostTrainState, make_train_step
 
 logger = logging.getLogger("textboost_tpu")
 
@@ -122,18 +122,8 @@ class Trainer:
             "setup: %s at +%.1fs", what, time.perf_counter() - t_setup
         )
 
-        # ---- models (train_textboost.py:630-654) ----
-        self.bundle: ModelBundle = load_models(
-            cfg.pretrained_model_name_or_path,
-            preset=cfg.model_preset,
-            lora_rank=cfg.lora_rank,
-            dtype=dtype,
-            vae_dtype=jnp.float32 if cfg.vae_fp32 else None,
-            seed=cfg.seed,
-            remat=cfg.gradient_checkpointing,
-        )
-        spec = self.bundle.spec
-        mark("models loaded")
+        # ---- tokenizer + token planning (host-only, BEFORE any device
+        # work so the train-step AOT thread can launch with final shapes) ----
         self.tokenizer = load_tokenizer(
             cfg.tokenizer_name or cfg.pretrained_model_name_or_path
         )
@@ -148,19 +138,12 @@ class Trainer:
                 "converted snapshot for real runs."
             )
 
-        # Frozen reference encoder, captured BEFORE token surgery
-        # (train_textboost.py:650).  Aliasing the bundle buffers is safe:
-        # frozen trees are never donated.
-        self.frozen_te = CLIPTextModel(spec.text_encoder, dtype=dtype)
-        self.frozen_te_params = {"params": dict(self.bundle.te_params["params"])}
-
         # ---- token surgery (:665-688) ----
         # Tokenizer bookkeeping on host, matrix growth ON DEVICE: one
         # gather+concat jit instead of fetching the ~150 MB embedding to
         # the host and re-uploading it (the d2h leg of the tunnel runs at
         # ~1-5 MB/s — it dominated cold-start wall time).
         self.concepts = cfg.resolve_concepts()
-        emb_dev = self.bundle.te_params["params"]["token_embedding"]
         first_added_id = len(self.tokenizer)
         self.token_to_id: Dict[str, int] = {}
         self.concept_tokens: Dict[str, str] = {}
@@ -213,6 +196,48 @@ class Trainer:
         assert new_row_ids == list(
             range(first_added_id, first_added_id + len(new_row_ids))
         ), f"non-sequential added token ids: {new_row_ids}"
+
+        # ---- mesh (host-only) + background train-step AOT ----
+        # The compiled step is pure shape-in/shape-out (all data-dependent
+        # values ride `frozen` as traced inputs), so it can compile in a
+        # daemon thread WHILE the model-init programs compile and the
+        # relay's first-sync tax drains — instead of serializing ~80 s of
+        # step cache-load after setup.
+        import math
+
+        from ..parallel.mesh import select_devices
+
+        n_dev = len(jax.devices())
+        tp = cfg.mesh_tp
+        dp = cfg.mesh_dp or (n_dev // tp)
+        if cfg.train_batch_size % dp:
+            dp = math.gcd(dp, cfg.train_batch_size)
+            logger.info(
+                "train_batch_size %d not divisible by dp; shrinking mesh to "
+                "dp=%d x tp=%d (%d/%d devices in use)",
+                cfg.train_batch_size, dp, tp, dp * tp, n_dev,
+            )
+        self.mesh = make_mesh(dp=dp, tp=tp, devices=select_devices(dp * tp))
+
+        from ..models.pretrained import resolve_spec_name
+        from .aot import launch_step_aot
+
+        self._step_aot = None
+        early_spec_name = resolve_spec_name(
+            cfg.pretrained_model_name_or_path, cfg.model_preset
+        )
+        if early_spec_name is not None:
+            from ..models import get_spec
+
+            self._step_aot = launch_step_aot(
+                cfg,
+                get_spec(early_spec_name),
+                vocab_size=len(self.tokenizer),
+                first_added_id=first_added_id,
+                mesh=self.mesh,
+                dtype=dtype,
+            )
+
         src = jnp.asarray(init_row_ids, jnp.int32)
         null_ids = jnp.asarray(
             np.asarray(
@@ -222,6 +247,25 @@ class Trainer:
                 np.int32,
             )
         )
+
+        # ---- models (train_textboost.py:630-654) ----
+        self.bundle: ModelBundle = load_models(
+            cfg.pretrained_model_name_or_path,
+            preset=cfg.model_preset,
+            lora_rank=cfg.lora_rank,
+            dtype=dtype,
+            vae_dtype=jnp.float32 if cfg.vae_fp32 else None,
+            seed=cfg.seed,
+            remat=cfg.gradient_checkpointing,
+        )
+        spec = self.bundle.spec
+        mark("models loaded")
+
+        # Frozen reference encoder, captured BEFORE token surgery
+        # (train_textboost.py:650).  Aliasing the bundle buffers is safe:
+        # frozen trees are never donated.
+        self.frozen_te = CLIPTextModel(spec.text_encoder, dtype=dtype)
+        self.frozen_te_params = {"params": dict(self.bundle.te_params["params"])}
 
         # ONE merged setup program (each compile round-trip on the tunneled
         # TPU has tens of seconds of fixed overhead): embedding growth +
@@ -452,22 +496,7 @@ class Trainer:
             num_workers=2,
         )
 
-        # ---- mesh + sharded step ----
-        import math
-
-        n_dev = len(jax.devices())
-        tp = cfg.mesh_tp
-        dp = cfg.mesh_dp or (n_dev // tp)
-        if cfg.train_batch_size % dp:
-            dp = math.gcd(dp, cfg.train_batch_size)
-            logger.info(
-                "train_batch_size %d not divisible by dp; shrinking mesh to "
-                "dp=%d x tp=%d (%d/%d devices in use)",
-                cfg.train_batch_size, dp, tp, dp * tp, n_dev,
-            )
-        from ..parallel.mesh import select_devices
-
-        self.mesh = make_mesh(dp=dp, tp=tp, devices=select_devices(dp * tp))
+        # ---- sharded step (mesh created earlier, pre-AOT) ----
         tp = cfg.mesh_tp > 1
         self.unet_params = shard_params(self.bundle.unet_params, self.mesh, tp)
         self.vae_params = shard_params(self.bundle.vae_params, self.mesh, False)
@@ -478,21 +507,12 @@ class Trainer:
         # device_put onto the mesh sharding suffices — no extra program.
         self.te_params = shard_params(self.te_params, self.mesh, False)
 
-        step_config = self.step_config = StepConfig(
-            train_unet=self.train_unet,
-            prediction_type=spec.scheduler.prediction_type,
-            vae_scaling=spec.vae.scaling_factor,
-            kpl_weight=cfg.kpl_weight,
-            kpl_type=cfg.kpl_type,
-            with_image_prior=cfg.with_image_prior,
-            image_ppl_weight=cfg.image_ppl_weight,
-            max_grad_norm=cfg.max_grad_norm,
-            first_added_token_id=first_added_id,
-            embedding_target_norm=mean_norm,
-            mixing=cfg.mixing,
-            augment_ops=cfg.augment_ops,
-            weighted_timesteps=not cfg.disable_weighted_sample,
-            eos_token_id=spec.text_encoder.eos_token_id,
+        from .aot import build_step_config
+
+        # Shared with the AOT thread — byte-identical config ⇒ identical
+        # traced program (embedding_target_norm/null_embedding ride frozen).
+        step_config = self.step_config = build_step_config(
+            cfg, spec, first_added_id
         )
         raw_step = make_train_step(
             text_encoder_apply=self.text_encoder.apply,
@@ -611,6 +631,28 @@ class Trainer:
             "_step0": self.start_step,
         }
         next_batch = self._device_batch(next(train_iter), next(prior_iter))
+        if getattr(self, "_step_aot", None) is not None:
+            compiled = self._step_aot.result()
+            if compiled is not None:
+                try:
+                    # Swap in the background-compiled executable; a
+                    # signature mismatch raises BEFORE execution (donated
+                    # buffers intact), falling back to the plain jit.
+                    state, metrics = compiled(self.state, next_batch, self.frozen)
+                    jax.block_until_ready(metrics["loss"])
+                    self.state = state
+                    next_batch = self._device_batch(
+                        next(train_iter), next(prior_iter)
+                    )
+                    step += 1
+                    timer.tick()
+                    self.train_step = compiled
+                    logger.info("using background-AOT-compiled train step")
+                except Exception as e:  # noqa: BLE001 — jit fallback
+                    logger.info(
+                        "AOT executable mismatch (%s); using plain jit",
+                        repr(e)[:200],
+                    )
         if jax.process_count() > 1:
             # Compile is process-local and can stagger across hosts by
             # minutes; entering the first cross-process collective that far
