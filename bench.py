@@ -23,9 +23,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 
 
 def _platform_override():
-    from textboost_tpu.utils.platform import apply_platform_override
+    from textboost_tpu.utils.platform import (
+        apply_platform_override,
+        start_device_warmup,
+    )
 
     apply_platform_override()
+    # Overlap the relay's per-process first-sync tax with the compiles.
+    start_device_warmup()
 
 
 TARGET_STEPS_PER_SEC = 250.0 / 120.0  # north-star pace
