@@ -93,6 +93,18 @@ def generate(args):
         return outdir
 
     model, size = detect_model(args)
+    # Generation batches shard over all local devices (dp mesh; params
+    # replicated) — SURVEY §7 step 5: eval generation is embarrassingly
+    # parallel across the slice.
+    mesh = None
+    import jax as _jax
+
+    n_dev = len(_jax.devices())
+    if n_dev > 1 and args.batch_size % n_dev == 0:
+        from textboost_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=n_dev, tp=1)
+        print(f"Sharding generation batches over {n_dev} devices")
     for instance in instances:
         model_path = os.path.join(args.path, instance)
         if not os.path.isdir(model_path):
@@ -100,7 +112,7 @@ def generate(args):
             continue
         pipeline = load_textboost_pipeline(
             model_path, model, checkpoint=args.checkpoint, lora_rank=args.lora_rank,
-            null_embedding_path=args.null_emb_path,
+            null_embedding_path=args.null_emb_path, mesh=mesh,
         )
         # Multi-vector identifier expansion (eval_dreambooth.py:329-337).
         files = os.listdir(

@@ -121,3 +121,34 @@ def test_inference_cli(tmp_path):
 
     grid = Image.open(out_img)
     assert grid.size == (256, 128)  # 2 seeds side by side
+
+
+def test_pipeline_dp_mesh_sharded_generation(pipe):
+    """Generation batch sharded over the 8-device dp mesh (SURVEY §7
+    step 5) matches the single-device result bit-for-bit (pure data
+    parallelism — no cross-device math)."""
+    from textboost_tpu.parallel.mesh import make_mesh
+
+    ref = pipe(["a dog"] * 8, num_inference_steps=2, seed=3)
+
+    sharded = TextToImagePipeline(
+        pipe.spec,
+        pipe.tokenizer,
+        pipe.te_params,
+        pipe.unet_params,
+        pipe.vae_params,
+        dtype=jax.numpy.float32,
+        mesh=make_mesh(dp=8, tp=1),
+    )
+    out = sharded(["a dog"] * 8, num_inference_steps=2, seed=3)
+    assert out.shape == ref.shape
+    # Per-shard compilation fuses/reduces in a different order than the
+    # single-device program, and a random-init VAE decode amplifies that
+    # f32 noise to a few uint8 LSBs.  A routing bug (wrong shard order /
+    # wrong batch split) would produce entirely different images, so
+    # assert closeness, not bit-equality.
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.mean() < 8.0 and float((diff > 30).mean()) < 0.01, (
+        f"sharded generation diverged: mean|diff|={diff.mean():.2f}, "
+        f"p>30={float((diff > 30).mean()):.4f}"
+    )

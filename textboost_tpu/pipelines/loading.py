@@ -49,6 +49,7 @@ def load_textboost_pipeline(
     dtype=jnp.bfloat16,
     use_null_embedding: bool = True,
     null_embedding_path: Optional[str] = None,
+    mesh=None,
 ) -> TextToImagePipeline:
     model_path = model_path.rstrip("/")
     if checkpoint is not None:
@@ -122,4 +123,5 @@ def load_textboost_pipeline(
         lora_rank=lora_rank,
         vocab_size=emb.shape[0],
         dtype=dtype,
+        mesh=mesh,
     )

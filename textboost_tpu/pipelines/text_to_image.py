@@ -44,10 +44,17 @@ class TextToImagePipeline:
         lora_rank: int = 0,
         vocab_size: Optional[int] = None,
         dtype=jnp.bfloat16,
+        mesh=None,
     ):
         if isinstance(spec, str):
             spec = get_spec(spec)
         self.spec = spec
+        # Optional dp mesh: generation batches shard over devices (params
+        # replicated, batch dim split; XLA emits the collective-free
+        # embarrassingly-parallel program) — SURVEY §7 step 5: eval
+        # generation data-parallel across the slice.
+        self.mesh = mesh
+        self._mesh_placed = False
         self.tokenizer = tokenizer
         self.dtype = dtype
         self.text_encoder = CLIPTextModel(
@@ -181,6 +188,20 @@ class TextToImagePipeline:
                 latents = jnp.broadcast_to(latents[None], (batch,) + latents.shape)
 
         do_cfg = guidance_scale > 1.0
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+
+            if not self._mesh_placed:
+                rep = replicated(self.mesh)
+                self.te_params = jax.device_put(self.te_params, rep)
+                self.unet_params = jax.device_put(self.unet_params, rep)
+                self.vae_params = jax.device_put(self.vae_params, rep)
+                self._mesh_placed = True
+            ids = jax.device_put(ids, batch_sharding(self.mesh, ids.ndim))
+            neg_ids = jax.device_put(neg_ids, batch_sharding(self.mesh, neg_ids.ndim))
+            latents = jax.device_put(
+                latents, batch_sharding(self.mesh, latents.ndim)
+            )
         fn = self._sample_fn(batch, height, width, num_inference_steps, do_cfg, sampler)
         images = fn(
             self.te_params, self.unet_params, self.vae_params,
