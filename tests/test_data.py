@@ -241,3 +241,40 @@ def test_prefetch_loader(tmp_path):
     b1b = next(iter(loader2))
     np.testing.assert_allclose(b1["pixel_values"], b1b["pixel_values"])
     loader2.stop()
+
+
+def test_prefetch_loader_process_mode_matches_threads(tmp_path):
+    """Forked-process producers yield the identical batch stream as the
+    thread producer (sample RNG is keyed on the global step, not worker
+    topology)."""
+    import numpy as np
+    from PIL import Image
+
+    from textboost_tpu.data import PrefetchLoader, TextBoostDataset, load_tokenizer
+    from textboost_tpu.data.datasets import TextBoostDataset as DS
+
+    inst = tmp_path / "inst"
+    inst.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(
+            rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+        ).save(inst / f"img{i}.jpg")
+    tok = load_tokenizer(None)
+    ds = TextBoostDataset(
+        concepts_list=[{"instance_data_dir": str(inst), "instance_token": "<x>"}],
+        tokenizer=tok, size=64, template="a {}",
+    )
+
+    def take(loader, n):
+        it = iter(loader)
+        out = [next(it) for _ in range(n)]
+        loader.stop()
+        return out
+
+    a = take(PrefetchLoader(ds, 2, DS.collate, seed=5, num_workers=2), 6)
+    b = take(PrefetchLoader(ds, 2, DS.collate, seed=5, num_procs=2), 6)
+    for x, y in zip(a, b):
+        assert sorted(x.keys()) == sorted(y.keys())
+        for k in x:
+            np.testing.assert_array_equal(x[k], y[k])

@@ -20,6 +20,14 @@ from .sharding import ShardedIndexIterator
 
 
 class PrefetchLoader:
+    """Thread-based by default; `num_procs > 0` switches to forked worker
+    PROCESSES (each building whole batches for steps `w, w+P, ...`) — the
+    GIL caps thread throughput at ~1 core of Python/PIL work, which on a
+    multi-chip slice cannot keep up with ~ms-scale steps (SURVEY §7
+    "host-bound augmentation throughput").  Sample RNG is keyed
+    (seed, step, slot) either way, so worker topology never changes the
+    data stream."""
+
     def __init__(
         self,
         dataset,
@@ -33,25 +41,26 @@ class PrefetchLoader:
         num_workers: int = 4,
         prefetch: int = 2,
         collate_kwargs: Optional[Dict] = None,
+        num_procs: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate = collate
         self.collate_kwargs = collate_kwargs or {}
         self.seed = seed
-        self.indices = ShardedIndexIterator(
-            len(dataset),
-            shard_id=shard_id,
-            num_shards=num_shards,
-            shuffle=shuffle,
-            repeat=True,
-            seed=seed,
+        self._index_kwargs = dict(
+            shard_id=shard_id, num_shards=num_shards, shuffle=shuffle,
+            repeat=True, seed=seed,
         )
+        self.indices = ShardedIndexIterator(len(dataset), **self._index_kwargs)
         self.num_workers = max(1, num_workers)
+        self.num_procs = max(0, num_procs)
         self.prefetch = max(1, prefetch)
         self._queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._procs: list = []
+        self._mp_queue = None
         self._start_step = 0
 
     def set_start_step(self, step: int) -> None:
@@ -91,12 +100,85 @@ class PrefetchLoader:
         finally:
             pool.shutdown(wait=False)
 
+    # -- forked-process producer path -----------------------------------
+    def _worker_main(self, worker_id: int, out_q):
+        """Runs in a forked child: builds batches for steps
+        start+worker_id, start+worker_id+P, ...  Deterministic: the index
+        stream is fast-forwarded per step, and sample RNG is keyed on the
+        global (seed, step, slot)."""
+        P = self.num_procs
+        index_iter = iter(
+            ShardedIndexIterator(len(self.dataset), **self._index_kwargs)
+        )
+        step = self._start_step + worker_id
+        for _ in range(step * self.batch_size):
+            next(index_iter)
+        while True:
+            idxs = [next(index_iter) for _ in range(self.batch_size)]
+            samples = []
+            for slot, idx in enumerate(idxs):
+                rng = np.random.default_rng((self.seed, step, slot))
+                try:
+                    samples.append(self.dataset.__getitem__(idx, rng=rng))
+                except TypeError:
+                    samples.append(self.dataset[idx])
+            batch = self.collate(samples, **self.collate_kwargs)
+            out_q.put((step, batch))
+            # Skip the (P-1) steps owned by the other workers.
+            for _ in range((P - 1) * self.batch_size):
+                next(index_iter)
+            step += P
+
+    def _consume_mp(self):
+        """Reorder (step, batch) pairs from the worker pool into step
+        order on the bounded thread queue."""
+        pending: Dict[int, Dict] = {}
+        expect = self._start_step
+        while not self._stop.is_set():
+            while expect not in pending:
+                try:
+                    s, b = self._mp_queue.get(timeout=0.5)
+                except Exception:  # noqa: BLE001 — queue.Empty
+                    if self._stop.is_set():
+                        return
+                    continue
+                pending[s] = b
+            batch = pending.pop(expect)
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+            expect += 1
+
+    def _start_mp(self):
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        # Workers block when the parent falls behind: bounded queue.
+        self._mp_queue = ctx.Queue(maxsize=max(2 * self.num_procs, 4))
+        for w in range(self.num_procs):
+            p = ctx.Process(
+                target=self._worker_main, args=(w, self._mp_queue), daemon=True
+            )
+            p.start()
+            self._procs.append(p)
+        self._thread = threading.Thread(target=self._consume_mp, daemon=True)
+        self._thread.start()
+
     def __iter__(self) -> Iterator[Dict]:
         if self._thread is None:
-            self._thread = threading.Thread(target=self._produce, daemon=True)
-            self._thread.start()
+            if self.num_procs > 0:
+                self._start_mp()
+            else:
+                self._thread = threading.Thread(target=self._produce, daemon=True)
+                self._thread.start()
         while True:
             yield self._queue.get()
 
     def stop(self):
         self._stop.set()
+        for p in self._procs:
+            p.terminate()
+        self._procs = []

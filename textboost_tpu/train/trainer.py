@@ -481,6 +481,14 @@ class Trainer:
                 max(cfg.dataloader_num_workers, 1) * 2,
                 4 * (os.cpu_count() or 1),
             ),
+            # Multi-core hosts fork worker processes so augmentation
+            # escapes the GIL (SURVEY §7 "host-bound augmentation
+            # throughput"); single-core hosts keep the thread producer.
+            num_procs=(
+                min(max(cfg.dataloader_num_workers, 1), (os.cpu_count() or 1) - 1)
+                if (os.cpu_count() or 1) >= 4
+                else 0
+            ),
         )
         ip2p = InstructPix2PixDataset(cfg.human_prompts_path)
         prior_ds = PriorDataset(
