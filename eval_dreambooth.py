@@ -19,9 +19,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 
 
 def _platform_override():
-    from textboost_tpu.utils.platform import apply_platform_override
+    from textboost_tpu.utils.platform import (
+        apply_platform_override,
+        start_device_warmup,
+    )
 
     apply_platform_override()
+    start_device_warmup()
 
 
 import numpy as np

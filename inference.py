@@ -12,9 +12,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 
 
 def _platform_override():
-    from textboost_tpu.utils.platform import apply_platform_override
+    from textboost_tpu.utils.platform import (
+        apply_platform_override,
+        start_device_warmup,
+    )
 
     apply_platform_override()
+    start_device_warmup()
 
 
 STABLE_DIFFUSION = {
@@ -58,22 +62,37 @@ def main(args):
     from textboost_tpu.pipelines.loading import load_textboost_pipeline
 
     args.path = args.path.rstrip("/")
+    import jax as _jax
+
+    mesh = None
+    n_dev = len(_jax.devices())
+    if n_dev > 1 and len(args.seeds) % n_dev == 0:
+        from textboost_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=n_dev, tp=1)
     pipeline = load_textboost_pipeline(
-        args.path, args.model, checkpoint=args.checkpoint, lora_rank=args.lora_rank
+        args.path, args.model, checkpoint=args.checkpoint,
+        lora_rank=args.lora_rank, mesh=mesh,
     )
 
     import jax
 
-    images = []
-    for seed in args.seeds:
-        out = pipeline(
-            args.prompt,
-            num_inference_steps=args.steps,
-            guidance_scale=args.guidance_scale,
-            rng=jax.random.PRNGKey(seed),
-            sampler="dpm++2m",
-        )
-        images.append(out[0])
+    # All seeds in ONE batched call (each with its own initial latent):
+    # one compiled program, and the batch shards over the dp mesh when
+    # multiple devices are present.
+    lh = lw = (pipeline.spec.resolution) // 8
+    latents = np.stack([
+        np.asarray(jax.random.normal(jax.random.PRNGKey(s), (lh, lw, 4)))
+        for s in args.seeds
+    ])
+    out = pipeline(
+        [args.prompt] * len(args.seeds),
+        num_inference_steps=args.steps,
+        guidance_scale=args.guidance_scale,
+        latents=latents,
+        sampler="dpm++2m",
+    )
+    images = list(out)
 
     if args.output is not None:
         grid = np.concatenate(images, axis=1)

@@ -4,8 +4,9 @@ Replaces the XLA softmax-attention chain for the UNet's large spatial
 self-attentions (seq 4096 at 64x64 latents), where materializing the
 [B,H,N,N] score matrix is HBM-bandwidth-bound.  Online-softmax streaming
 over K/V blocks keeps everything in VMEM; the backward pass recomputes
-P blockwise from the saved logsumexp (standard flash-attention recipe) in
-two kernels (dKV gridded over K blocks, dQ gridded over Q blocks).
+P blockwise from the saved logsumexp in ONE fused kernel (gridded over
+K blocks; dq accumulates fp32 in a revisited output) — 5 matmuls per
+tile pair vs the classic two-kernel recipe's 7.
 
 Layout: [BH, N, D] with batch*heads folded into the grid's leading dim.
 D is zero-padded to the 128-lane boundary by the wrapper; N must divide

@@ -586,7 +586,12 @@ class Trainer:
         # SingleDeviceSharding, so without this the first call traces one
         # signature and the donated output of step 1 traces ANOTHER —
         # compiling the ~170 s train step twice per cold start.
-        self.state = jax.device_put(self.state, rep)
+        # Multi-process: a cross-process device_put is itself a collective
+        # and would race the compile barrier (Gloo ctx init timeout); that
+        # path AOT-compiles explicitly in train() so the double-compile
+        # hazard doesn't exist there.
+        if jax.process_count() == 1:
+            self.state = jax.device_put(self.state, rep)
         mark("mesh + step + state built")
         self.start_step = 0
         if cfg.resume_from_checkpoint:
