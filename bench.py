@@ -36,6 +36,41 @@ def _platform_override():
 TARGET_STEPS_PER_SEC = 250.0 / 120.0  # north-star pace
 
 
+class _CompileLog(list):
+    """Captures jax's per-program compile logs (--cold breakdown: which
+    programs cost what, VERDICT r2 #3).  Needs jax_log_compiles."""
+
+    def start(self):
+        import logging
+        import re
+
+        self._re = re.compile(
+            r"Finished XLA compilation of (\S+) in ([0-9.]+) sec"
+        )
+
+        outer = self
+
+        class H(logging.Handler):
+            def emit(self, record):
+                m = outer._re.search(record.getMessage())
+                if m:
+                    outer.append((m.group(1), float(m.group(2))))
+
+        import jax
+
+        jax.config.update("jax_log_compiles", True)
+        self._handler = H(level=logging.DEBUG)
+        for name in ("jax._src.dispatch", "jax._src.interpreters.pxla",
+                     "jax._src.compiler"):
+            lg = logging.getLogger(name)
+            lg.addHandler(self._handler)
+            lg.setLevel(logging.DEBUG)
+
+    def breakdown(self, top: int = 8):
+        items = sorted(self, key=lambda kv: -kv[1])[:top]
+        return {name: round(secs, 1) for name, secs in items}
+
+
 def build_train_bench(preset: str, batch: int, resolution: int, lora_rank: int, remat: bool = True):
     import jax
     import jax.numpy as jnp
@@ -58,7 +93,7 @@ def build_train_bench(preset: str, batch: int, resolution: int, lora_rank: int, 
     )
     null_emb = jnp.zeros((77, spec.text_encoder.hidden_size), jnp.float32)
 
-    optimizer = make_optimizer(1e-4, 1e-3, bundle.te_params)
+    optimizer = make_optimizer(1e-4, 1e-3, bundle.te_params, max_grad_norm=1.0)
     config = StepConfig(
         prediction_type=spec.scheduler.prediction_type,
         vae_scaling=spec.vae.scaling_factor,
@@ -109,6 +144,10 @@ def build_train_bench(preset: str, batch: int, resolution: int, lora_rank: int, 
 def bench_train(args):
     import jax
 
+    cold = getattr(args, "cold", False)
+    compile_log = _CompileLog()
+    if cold:
+        compile_log.start()
     jit_step, state, batch, frozen = build_train_bench(
         args.preset, args.batch_size, args.resolution, args.lora_rank,
         remat=args.remat,
@@ -137,6 +176,8 @@ def bench_train(args):
         "vs_baseline": round(steps_per_sec / TARGET_STEPS_PER_SEC, 4),
         "extra": {
             "compile_s": round(compile_s, 1),
+            "compile_cache": "cold" if cold else "warm",
+            **({"compile_breakdown": compile_log.breakdown()} if cold else {}),
             "step_ms": round(1000.0 * dt / args.iters, 1),
             "projected_250_steps_s": round(250.0 / steps_per_sec, 1),
             "loss_finite": bool(jax.numpy.isfinite(metrics["loss"])),
@@ -283,13 +324,52 @@ def bench_parts(args):
     }
 
 
+def _phase_budget(out_dir: str):
+    """Parse the run's training.log + metrics.jsonl into a phase table
+    (VERDICT r2 #4: budget, not extrapolation)."""
+    budget = {}
+    log_path = os.path.join(out_dir, "training.log")
+    try:
+        for line in open(log_path):
+            if "setup: " in line and " at +" in line:
+                what = line.split("setup: ")[1].split(" at +")[0]
+                budget[f"setup_{what.replace(' ', '_')}_s"] = float(
+                    line.rsplit("at +", 1)[1].rstrip("s\n")
+                )
+            elif "first step dispatch" in line:
+                budget["first_step_dispatch_s"] = float(
+                    line.rsplit(": ", 1)[1].rstrip("s\n")
+                )
+            elif "Training took" in line:
+                budget["loop_plus_setup_s"] = float(
+                    line.split("Training took ")[1].split(" seconds")[0]
+                )
+    except (OSError, ValueError, IndexError):
+        pass
+    metrics_path = os.path.join(out_dir, "metrics.jsonl")
+    try:
+        steps, total_ms = 0, 0.0
+        last = {}
+        for line in open(metrics_path):
+            rec = json.loads(line)
+            if "step_ms" in rec:
+                last = rec
+        for k in ("step_ms", "dispatch_ms", "host_wait_ms", "h2d_ms"):
+            if k in last:
+                budget[f"steady_{k}"] = round(last[k], 1)
+    except (OSError, ValueError):
+        pass
+    return budget
+
+
 def bench_e2e(args):
     """Full flagship CLI run (BASELINE.md north star: one-shot instance,
     250 steps x bs 8, 512px, pda+inversion+KPL, under 120 s wall on
     v5e-8).  Runs train_textboost.py as a subprocess on a synthetic
     instance image; wall time includes model build, compile (amortized by
-    the persistent cache), the host data pipeline, and final checkpoint
-    export."""
+    the persistent cache), the host data pipeline, PERIODIC checkpoints at
+    the sweep default cadence (checkpointing_steps=50 — the r2 number
+    quietly measured 0), and final export."""
     import subprocess
     import tempfile
 
@@ -321,7 +401,9 @@ def bench_e2e(args):
         "--augment_prompt", "1",
         "--template", "imagenet_small",
         "--kpl_weight", "0.1",
-        "--checkpointing_steps", "0",
+        # Sweep default cadence (run_textboost_db.py: total//5); compact
+        # async checkpoints make this ~free even over the slow d2h tunnel.
+        "--checkpointing_steps", str(args.checkpointing_steps),
         # The reference flagship trains fp16 (run_textboost_db.py:147);
         # bf16 is the TPU equivalent.  Without this the CLI defaults to
         # full fp32 — ~2x the device time and no flash attention.
@@ -335,27 +417,42 @@ def bench_e2e(args):
     wall = time.time() - t0
     ok = proc.returncode == 0 and os.path.isdir(out_dir)
     target = 120.0 * args.steps / 250.0
+    n_ckpts = len(
+        [d for d in os.listdir(out_dir) if d.startswith("checkpoint-")]
+    ) if ok else 0
+    ckpt_bytes = 0
+    for root, _, files in os.walk(out_dir):
+        if "checkpoint-" in root:
+            ckpt_bytes += sum(
+                os.path.getsize(os.path.join(root, f)) for f in files
+            )
     return {
         "metric": f"e2e_cli_wall_s ({args.preset}, {args.steps} steps, "
-        f"bs={args.batch_size}, {args.resolution}px, pda+inversion+KPL)",
+        f"bs={args.batch_size}, {args.resolution}px, pda+inversion+KPL, "
+        f"ckpt_every={args.checkpointing_steps})",
         "value": round(wall, 1) if ok else 0.0,
         "unit": "s",
         # >= 1.0 means the <120 s-per-250-steps north star is met.
         "vs_baseline": round(target / wall, 4) if ok else 0.0,
         "extra": {
             "returncode": proc.returncode,
+            "checkpoints_written": n_ckpts,
+            "checkpoint_mb_total": round(ckpt_bytes / 1e6, 1),
+            "phase_budget": _phase_budget(out_dir),
             "tail": proc.stdout[-300:] if ok else (proc.stderr[-300:]),
         },
     }
 
 
 def main():
-    _platform_override()
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode", choices=["train", "sample", "e2e", "parts"],
                         default="train")
     parser.add_argument("--steps", type=int, default=250,
                         help="e2e mode: train steps")
+    parser.add_argument("--checkpointing-steps", type=int, default=50,
+                        help="e2e mode: periodic checkpoint cadence "
+                        "(sweep default total//5; 0 disables)")
     parser.add_argument("--preset", default="sd15")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--resolution", type=int, default=512)
@@ -365,7 +462,17 @@ def main():
     # bs8/512px fits v5e HBM without remat (measured: 3.95 vs 3.27 steps/s);
     # pass --remat for larger batches.
     parser.add_argument("--remat", action="store_true")
+    parser.add_argument("--cold", action="store_true",
+                        help="measure a COLD compile: point the persistent "
+                        "cache at a throwaway dir so nothing is reused")
     args = parser.parse_args()
+    if args.cold:
+        import tempfile
+
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = tempfile.mkdtemp(
+            prefix="jax_cold_cache_"
+        )
+    _platform_override()
 
     try:
         result = {"train": bench_train, "sample": bench_sample,

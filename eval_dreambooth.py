@@ -65,11 +65,18 @@ def detect_model(args):
     if args.model is not None:
         model = args.model
     else:
-        model = "sd21base"
+        model = None
         for name in ("sd21base", "sd21", "sd15", "sd14", "tiny"):
             if name in args.path:
                 model = name
                 break
+        if model is None:
+            # A silent sd21base default would evaluate a differently-shaped
+            # checkpoint with the wrong geometry (VERDICT r2 weak #8).
+            raise ValueError(
+                f"cannot infer the base model from path {args.path!r}; "
+                "pass --model (sd14|sd15|sd21base|sd21|tiny)"
+            )
     size = 96 if model == "sd21" else (16 if model == "tiny" else 64)
     return model, size
 

@@ -81,8 +81,11 @@ def main(args):
     # one compiled program, and the batch shards over the dp mesh when
     # multiple devices are present.
     lh = lw = (pipeline.spec.resolution) // 8
+    # Seed-for-seed continuity with the per-seed pipeline path (and earlier
+    # CLI versions): JAX PRNG output depends on shape, so draw the batch-1
+    # latent each seed would have drawn and strip the batch dim.
     latents = np.stack([
-        np.asarray(jax.random.normal(jax.random.PRNGKey(s), (lh, lw, 4)))
+        np.asarray(jax.random.normal(jax.random.PRNGKey(s), (1, lh, lw, 4)))[0]
         for s in args.seeds
     ])
     out = pipeline(

@@ -2,6 +2,7 @@
 job running the real Trainer over a global mesh.
 
 Usage: python multihost_worker.py <process_id> <port> <instance_dir> <out_dir>
+           [max_steps] [checkpointing_steps] [resume(0|1)]
 """
 import os
 import sys
@@ -9,6 +10,9 @@ import sys
 
 def main():
     pid, port, instance_dir, out_dir = sys.argv[1:5]
+    max_steps = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+    ckpt_steps = int(sys.argv[6]) if len(sys.argv) > 6 else 0
+    resume = len(sys.argv) > 7 and sys.argv[7] == "1"
     kept = [
         f
         for f in os.environ.get("XLA_FLAGS", "").split()
@@ -43,8 +47,9 @@ def main():
         output_dir=out_dir,
         resolution=128,
         train_batch_size=8,  # global; 4 per process
-        max_train_steps=2,
-        checkpointing_steps=0,
+        max_train_steps=max_steps,
+        checkpointing_steps=ckpt_steps,
+        resume_from_checkpoint="latest" if resume else None,
         validation_steps=0,
         lora_rank=4,
         template="textboost",
@@ -56,10 +61,14 @@ def main():
     trainer = Trainer(cfg)
     assert trainer.local_batch_size == 4
     assert trainer.mesh.devices.size == 8
+    if resume:
+        assert trainer.start_step > 0, "resume did not restore a checkpoint"
+        print(f"MULTIHOST_RESUMED pid={pid} from_step={trainer.start_step}",
+              flush=True)
     result = trainer.train()
     import numpy as np
 
-    assert result["steps"] == 2
+    assert result["steps"] == max_steps
     assert np.isfinite(result["loss"])
     print(f"MULTIHOST_OK pid={pid} loss={result['loss']:.4f}", flush=True)
 

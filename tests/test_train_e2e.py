@@ -82,6 +82,13 @@ def test_train_loop_end_to_end(instance_dir, tmp_path):
     )
     assert np.abs(lora_b).max() > 0  # moved off zero-init
 
+    # Original vocab rows exactly frozen (updates zeroed in-step; makes the
+    # compact checkpoint lossless — PARITY.md deviation 4).
+    orig_rows = np.asarray(
+        trainer.bundle.te_params["params"]["token_embedding"]
+    ).astype(np.float32)
+    np.testing.assert_array_equal(emb[: trainer.first_added_id], orig_rows)
+
     # Frozen base weights untouched.
     base_kernel = np.asarray(
         trainer.state.te_params["params"]["layers_0"]["self_attn"]["q_proj"]["kernel"]
@@ -109,15 +116,33 @@ def test_resume_from_checkpoint(instance_dir, tmp_path):
         )
     )
     assert t2.start_step == 2
+    # Lossless compact restore: the FULL state — original embedding rows,
+    # added rows, LoRA leaves, and Adam moments — matches what t1 ended
+    # with, bit-exactly (only added rows ever touched disk).
+    import jax
+
+    for (p, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(t1.state.te_params),
+        jax.tree.leaves(t2.state.te_params),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=str(p)
+        )
+    for a, b in zip(
+        jax.tree.leaves(t1.state.opt_state), jax.tree.leaves(t2.state.opt_state)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     result = t2.train()
     assert result["steps"] == 4
-    # Resumed params match what t1 ended with... then moved on.
     emb1 = np.asarray(t1.state.te_params["params"]["token_embedding"])
     emb2 = np.asarray(t2.state.te_params["params"]["token_embedding"])
     assert emb1.shape == emb2.shape
 
 
 def test_validation_grid(instance_dir, tmp_path):
+    """Indexed `<0>` substitution (the DB sweep runner's literal prompt
+    format, train_textboost.py:503-505) + num_validation_images images per
+    prompt (:508-512)."""
     from textboost_tpu.train import Trainer
 
     out = str(tmp_path / "val_run")
@@ -127,14 +152,31 @@ def test_validation_grid(instance_dir, tmp_path):
             out,
             max_train_steps=1,
             validation_steps=0,
-            validation_prompts=["a photo of <i>"],
+            validation_prompts=["photo of a <0>", "a <0> in the snow"],
+            num_validation_images=2,
         )
     )
+    # Substitution: the raw "<0>" must NOT survive, and the tokenized
+    # prompts must contain the learned placeholder ids.
+    prompts = trainer.validation_prompt_list()
+    joined = trainer.concept_tokens["<dog>"]
+    assert len(prompts) == 4  # 2 prompts x num_validation_images
+    assert all("<0>" not in p for p in prompts)
+    assert all(joined in p for p in prompts)
+    ids = trainer.tokenizer(prompts[0])["input_ids"]
+    assert any(tid in ids for tid in trainer.token_to_id.values())
+    # Legacy "<i>" alias still resolves to the first concept.
+    trainer.config.validation_prompts = ["a photo of <i>"]
+    assert all(joined in p for p in trainer.validation_prompt_list())
+    trainer.config.validation_prompts = ["photo of a <0>", "a <0> in the snow"]
+
     trainer.train()
     path = trainer.run_validation(1)
     assert os.path.isfile(path)
     img = Image.open(path)
-    assert img.size[0] >= img.size[1]  # horizontal grid
+    # 2 rows (prompts) x 2 cols (images per prompt) of square tiles.
+    assert img.size[0] == img.size[1]
+    assert img.size[0] == 2 * trainer.config.resolution
 
 
 def test_train_unet_crossattn_kv(instance_dir, tmp_path):

@@ -19,14 +19,54 @@ import numpy as np
 from .sharding import ShardedIndexIterator
 
 
+def _process_worker(
+    out_q,
+    dataset,
+    collate,
+    collate_kwargs,
+    index_kwargs,
+    seed,
+    start_step,
+    worker_id,
+    num_procs,
+    batch_size,
+):
+    """Module-level worker body (picklable for the forkserver context):
+    builds whole batches for steps start+worker_id, start+worker_id+P, ...
+    Deterministic: the index stream is fast-forwarded per step, and sample
+    RNG is keyed on the global (seed, step, slot)."""
+    index_iter = iter(ShardedIndexIterator(len(dataset), **index_kwargs))
+    step = start_step + worker_id
+    for _ in range(step * batch_size):
+        next(index_iter)
+    while True:
+        idxs = [next(index_iter) for _ in range(batch_size)]
+        samples = []
+        for slot, idx in enumerate(idxs):
+            rng = np.random.default_rng((seed, step, slot))
+            try:
+                samples.append(dataset.__getitem__(idx, rng=rng))
+            except TypeError:
+                samples.append(dataset[idx])
+        out_q.put((step, collate(samples, **collate_kwargs)))
+        # Skip the (P-1) steps owned by the other workers.
+        for _ in range((num_procs - 1) * batch_size):
+            next(index_iter)
+        step += num_procs
+
+
 class PrefetchLoader:
-    """Thread-based by default; `num_procs > 0` switches to forked worker
+    """Thread-based by default; `num_procs > 0` switches to worker
     PROCESSES (each building whole batches for steps `w, w+P, ...`) — the
     GIL caps thread throughput at ~1 core of Python/PIL work, which on a
     multi-chip slice cannot keep up with ~ms-scale steps (SURVEY §7
-    "host-bound augmentation throughput").  Sample RNG is keyed
-    (seed, step, slot) either way, so worker topology never changes the
-    data stream."""
+    "host-bound augmentation throughput").  Workers use the forkserver
+    context: forking the parent directly would snapshot a process that
+    already carries JAX/TPU-client, relay-grpc, and AOT-compile threads
+    (documented deadlock hazard, ADVICE r2); the forkserver parent is a
+    clean process, and the dataset/collate travel to it by pickle.
+    Sample RNG is keyed (seed, step, slot) either way, so worker topology
+    never changes the data stream."""
 
     def __init__(
         self,
@@ -100,35 +140,7 @@ class PrefetchLoader:
         finally:
             pool.shutdown(wait=False)
 
-    # -- forked-process producer path -----------------------------------
-    def _worker_main(self, worker_id: int, out_q):
-        """Runs in a forked child: builds batches for steps
-        start+worker_id, start+worker_id+P, ...  Deterministic: the index
-        stream is fast-forwarded per step, and sample RNG is keyed on the
-        global (seed, step, slot)."""
-        P = self.num_procs
-        index_iter = iter(
-            ShardedIndexIterator(len(self.dataset), **self._index_kwargs)
-        )
-        step = self._start_step + worker_id
-        for _ in range(step * self.batch_size):
-            next(index_iter)
-        while True:
-            idxs = [next(index_iter) for _ in range(self.batch_size)]
-            samples = []
-            for slot, idx in enumerate(idxs):
-                rng = np.random.default_rng((self.seed, step, slot))
-                try:
-                    samples.append(self.dataset.__getitem__(idx, rng=rng))
-                except TypeError:
-                    samples.append(self.dataset[idx])
-            batch = self.collate(samples, **self.collate_kwargs)
-            out_q.put((step, batch))
-            # Skip the (P-1) steps owned by the other workers.
-            for _ in range((P - 1) * self.batch_size):
-                next(index_iter)
-            step += P
-
+    # -- worker-process producer path -----------------------------------
     def _consume_mp(self):
         """Reorder (step, batch) pairs from the worker pool into step
         order on the bounded thread queue."""
@@ -140,6 +152,20 @@ class PrefetchLoader:
                     s, b = self._mp_queue.get(timeout=0.5)
                 except Exception:  # noqa: BLE001 — queue.Empty
                     if self._stop.is_set():
+                        return
+                    if self._procs and not any(p.is_alive() for p in self._procs):
+                        # All workers died (e.g. the dataset failed to
+                        # unpickle in the forkserver child) — fall back to
+                        # the in-process thread producer from this step.
+                        import logging
+
+                        logging.getLogger("textboost_tpu").warning(
+                            "prefetch worker processes died; falling back "
+                            "to the thread producer"
+                        )
+                        self._procs = []
+                        self._start_step = expect
+                        self._produce()
                         return
                     continue
                 pending[s] = b
@@ -155,15 +181,44 @@ class PrefetchLoader:
     def _start_mp(self):
         import multiprocessing as mp
 
-        ctx = mp.get_context("fork")
+        # forkserver: children descend from a clean server process, never
+        # from this (JAX-threaded) parent — fork here deadlocks (ADVICE r2).
+        ctx = mp.get_context("forkserver")
         # Workers block when the parent falls behind: bounded queue.
         self._mp_queue = ctx.Queue(maxsize=max(2 * self.num_procs, 4))
-        for w in range(self.num_procs):
-            p = ctx.Process(
-                target=self._worker_main, args=(w, self._mp_queue), daemon=True
+        try:
+            for w in range(self.num_procs):
+                p = ctx.Process(
+                    target=_process_worker,
+                    args=(
+                        self._mp_queue,
+                        self.dataset,
+                        self.collate,
+                        self.collate_kwargs,
+                        self._index_kwargs,
+                        self.seed,
+                        self._start_step,
+                        w,
+                        self.num_procs,
+                        self.batch_size,
+                    ),
+                    daemon=True,
+                )
+                p.start()
+                self._procs.append(p)
+        except Exception as e:  # noqa: BLE001 — unpicklable dataset etc.
+            import logging
+
+            logging.getLogger("textboost_tpu").warning(
+                "prefetch worker processes unavailable (%r); using the "
+                "thread producer", e,
             )
-            p.start()
-            self._procs.append(p)
+            for p in self._procs:
+                p.terminate()
+            self._procs = []
+            self._thread = threading.Thread(target=self._produce, daemon=True)
+            self._thread.start()
+            return
         self._thread = threading.Thread(target=self._consume_mp, daemon=True)
         self._thread.start()
 

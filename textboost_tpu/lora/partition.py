@@ -9,7 +9,7 @@ into the jitted train step.
 """
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -90,29 +90,53 @@ def apply_mixing_mask(grads: Params, augment_ops: str = "object") -> Params:
     return jax.tree_util.tree_map_with_path(fix, grads)
 
 
-def clip_encoder_grads(grads: Params, max_norm: float) -> Params:
-    """Clip-by-global-norm over encoder (non-embedding) grads only
-    (train_textboost.py:1128-1133 clips text_model.encoder parameters)."""
+def _is_encoder_path(path) -> bool:
+    # Text-encoder transformer params only: the reference clips
+    # text_model.encoder.parameters() — not the embedding matrix and
+    # not UNet adapters.
+    p = _path_str(path)
+    return not p.endswith("token_embedding") and "unet_lora" not in p
 
-    def is_encoder(path):
-        p = _path_str(path)
-        # Text-encoder transformer params only: the reference clips
-        # text_model.encoder.parameters() — not the embedding matrix and
-        # not UNet adapters.
-        return not p.endswith("token_embedding") and "unet_lora" not in p
 
+def encoder_grad_norm(grads: Params) -> jnp.ndarray:
+    """Global norm over encoder (non-embedding, non-UNet) grads."""
     leaves = [
         g
         for path, g in jax.tree_util.tree_leaves_with_path(grads)
-        if is_encoder(path)
+        if _is_encoder_path(path)
     ]
-    gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves))
+    return jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves))
+
+
+def clip_encoder_grads(grads: Params, max_norm: float) -> Params:
+    """Clip-by-global-norm over encoder (non-embedding) grads only
+    (train_textboost.py:1128-1133 clips text_model.encoder parameters)."""
+    gnorm = encoder_grad_norm(grads)
     scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-12))
 
     def fix(path, g):
-        return g * scale if is_encoder(path) else g
+        return g * scale if _is_encoder_path(path) else g
 
     return jax.tree_util.tree_map_with_path(fix, grads), gnorm
+
+
+def clip_encoder_transform(max_norm: float) -> optax.GradientTransformation:
+    """The encoder-only clip as a GradientTransformation, placed INSIDE the
+    optimizer chain (before the AdamW groups) so that under gradient
+    accumulation it runs once on the accumulated/averaged grads — matching
+    the reference, which clips the synced grads after accumulation
+    (train_textboost.py:1128-1133) rather than each micro-batch."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        clipped, _ = clip_encoder_grads(updates, max_norm)
+        return clipped, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def renorm_added_embeddings(
@@ -175,12 +199,15 @@ def make_optimizer(
     weight_decay: float = 1e-2,
     eps: float = 1e-8,
     accumulate_steps: int = 1,
+    max_grad_norm: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """AdamW with two LR groups (embeddings @ emb_lr, LoRA @ lr) and frozen
     everything-else (train_textboost.py:829-854).  accumulate_steps > 1
     wraps in optax.MultiSteps (gradient accumulation — supported natively
     here; the reference forbids it for multi-process two-model training,
-    train_textboost.py:573-577)."""
+    train_textboost.py:573-577).  max_grad_norm, when set, applies the
+    encoder-only clip inside the chain — i.e. AFTER accumulation, on the
+    averaged grads, as the reference does (:1128-1133)."""
     labels = param_labels(params)
     adamw = lambda lr: optax.adamw(
         lr, b1=beta1, b2=beta2, eps=eps, weight_decay=weight_decay
@@ -193,6 +220,8 @@ def make_optimizer(
         },
         labels,
     )
+    if max_grad_norm is not None:
+        tx = optax.chain(clip_encoder_transform(max_grad_norm), tx)
     if accumulate_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
     return tx

@@ -72,13 +72,26 @@ class LoRADense(nn.Module):
         return y
 
 
+def pad_attention_mask(input_ids: jnp.ndarray, eos_token_id: int) -> jnp.ndarray:
+    """Boolean [B, L] padding mask computed from the ids: True through the
+    first EOS, False after — exactly the tokenizer `attention_mask` the
+    reference threads into the CLIP forward when
+    --text_encoder_use_attention_mask is set
+    (/root/reference/textboost/utils.py:11-26, train_textboost.py:319-330).
+    Computing it in-graph avoids shipping a second [B, 77] host array."""
+    eos_pos = jnp.argmax((input_ids == eos_token_id).astype(jnp.int32), axis=-1)
+    return jnp.arange(input_ids.shape[-1])[None, :] <= eos_pos[:, None]
+
+
 class CLIPAttention(nn.Module):
     config: CLIPTextConfig
     lora_rank: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, hidden: jnp.ndarray, attention_mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         cfg = self.config
         heads = cfg.num_attention_heads
         dense = lambda name, rank: LoRADense(
@@ -89,11 +102,15 @@ class CLIPAttention(nn.Module):
         q = dense("q_proj", self.lora_rank)(hidden)
         k = dense("k_proj", self.lora_rank)(hidden)
         v = dense("v_proj", self.lora_rank)(hidden)
+        # Key-padding mask [B, L] -> [B, 1, 1, L]; combined with the causal
+        # mask inside the dispatch.
+        mask = attention_mask[:, None, None, :] if attention_mask is not None else None
         out = multi_head_attention(
             split_heads(q, heads),
             split_heads(k, heads),
             split_heads(v, heads),
             causal=True,
+            mask=mask,
         )
         return dense("out_proj", 0)(merge_heads(out))
 
@@ -116,12 +133,16 @@ class CLIPEncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, hidden: jnp.ndarray, attention_mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         cfg = self.config
         ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name=name)
         residual = hidden
         hidden = ln("layer_norm1")(hidden)
-        hidden = CLIPAttention(cfg, self.lora_rank, self.dtype, name="self_attn")(hidden)
+        hidden = CLIPAttention(cfg, self.lora_rank, self.dtype, name="self_attn")(
+            hidden, attention_mask
+        )
         hidden = residual + hidden
         residual = hidden
         hidden = ln("layer_norm2")(hidden)
@@ -144,7 +165,10 @@ class CLIPTextModel(nn.Module):
 
     @nn.compact
     def __call__(
-        self, input_ids: jnp.ndarray, position_ids: Optional[jnp.ndarray] = None
+        self,
+        input_ids: jnp.ndarray,
+        position_ids: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
         vocab = self.vocab_size_override or cfg.vocab_size
@@ -165,7 +189,7 @@ class CLIPTextModel(nn.Module):
         for i in range(cfg.num_hidden_layers):
             hidden = CLIPEncoderLayer(
                 cfg, self.lora_rank, self.dtype, name=f"layers_{i}"
-            )(hidden)
+            )(hidden, attention_mask)
 
         hidden = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="final_layer_norm"

@@ -67,6 +67,7 @@ def build_step_config(cfg, spec, first_added_id: int):
         augment_ops=cfg.augment_ops,
         weighted_timesteps=not cfg.disable_weighted_sample,
         eos_token_id=spec.text_encoder.eos_token_id,
+        use_attention_mask=cfg.text_encoder_use_attention_mask,
     )
 
 
@@ -173,6 +174,7 @@ def _compile_step(cfg, spec, vocab_size, first_added_id, mesh, dtype) -> Any:
         weight_decay=cfg.adam_weight_decay,
         eps=cfg.adam_epsilon,
         accumulate_steps=cfg.gradient_accumulation_steps,
+        max_grad_norm=cfg.max_grad_norm,
     )
     schedule = NoiseSchedule.create(
         num_train_timesteps=spec.scheduler.num_train_timesteps,

@@ -9,15 +9,32 @@ train_textboost.py:959-981,1156-1266):
      adapter_config.json) for `load_adapter` consumers;
   3. per-token `{token}.bin` textual-inversion files.
 Retention pruning honors checkpoints_total_limit (:1159-1175).
+
+TPU-native twist — COMPACT, ASYNC checkpoints.  The reference's
+`save_state` writes the whole trainable tree + optimizer state; here that
+would drag the full grown embedding matrix (and its Adam moments — several
+hundred MB) to the host synchronously, over a d2h link measured at
+1-5 MB/s.  But the train step pins original vocab rows exactly (zeroed
+updates, train/step.py), so every embedding-shaped leaf is bit-identical
+to its freshly-initialized template outside the added rows: the checkpoint
+only needs the ADDED rows (a few KB) plus the LoRA leaves and their
+moments (~MBs).  `snapshot_compact` slices+copies on device in one jitted
+program; a background thread then fetches and writes without blocking the
+train loop.  Restore re-expands into the live template on device, so the
+full matrix never crosses the host link in either direction.
 """
 from __future__ import annotations
 
+import functools
+import json
 import os
 import re
 import shutil
-from typing import Any, Dict, List, Optional
+import threading
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -45,37 +62,102 @@ def prune_checkpoints(output_dir: str, total_limit: Optional[int]):
             shutil.rmtree(os.path.join(output_dir, d), ignore_errors=True)
 
 
-def save_checkpoint(
-    output_dir: str,
-    step: int,
-    state,
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "name", k))) for k in path)
+
+
+def _is_embedding_leaf(path, leaf) -> bool:
+    return _path_str(path).endswith("token_embedding") and getattr(
+        leaf, "ndim", 0
+    ) == 2
+
+
+def _state_dict(state) -> Dict[str, Any]:
+    return {
+        "step": state.step,
+        "te_params": state.te_params,
+        "opt_state": state.opt_state,
+        "rng": state.rng,
+    }
+
+
+@functools.lru_cache(maxsize=8)
+def _snapshot_fn(first_added_id: int):
+    def fix(path, leaf):
+        if _is_embedding_leaf(path, leaf):
+            leaf = leaf[first_added_id:]
+        # jnp.copy: the returned buffers must not alias the (donated) train
+        # state, or the next step would invalidate them under the async
+        # writer.
+        return jnp.copy(leaf)
+
+    return jax.jit(lambda t: jax.tree_util.tree_map_with_path(fix, t))
+
+
+def snapshot_compact(state, first_added_id: int):
+    """Device-side compact copy of the train state (one jitted program,
+    cached per (first_added_id, shapes)).  Returns fresh device buffers."""
+    return _snapshot_fn(int(first_added_id))(_state_dict(state))
+
+
+class _RowView:
+    """Sparse stand-in for the full embedding matrix: supports only
+    `view[token_id]` for ids >= first_added_id (export path)."""
+
+    def __init__(self, added_rows: np.ndarray, first_added_id: int):
+        self._rows = added_rows
+        self._first = first_added_id
+
+    def __getitem__(self, tid):
+        return self._rows[int(tid) - self._first]
+
+
+def _fetch_local(x) -> np.ndarray:
+    """d2h fetch that also works for replicated global (multi-process)
+    arrays: every process holds a full copy in its first local shard."""
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        return np.asarray(x.addressable_shards[0].data)
+    return np.asarray(x)
+
+
+def _write_checkpoint(
+    ckpt_dir: str,
+    payload_dev,
     *,
+    first_added_id: int,
     token_to_id: Dict[str, int],
     lora_rank: int,
-    base_model_name: str = "",
-    total_limit: Optional[int] = None,
+    base_model_name: str,
 ):
-    prune_checkpoints(output_dir, total_limit)
-    ckpt_dir = os.path.join(output_dir, f"checkpoint-{step}")
-    os.makedirs(ckpt_dir, exist_ok=True)
+    """Runs in the writer thread: d2h fetch + the three on-disk formats."""
+    payload = jax.tree.map(_fetch_local, payload_dev)
 
-    # (1) native trainer state.
-    ckptr = ocp.StandardCheckpointer()
-    state_path = os.path.abspath(os.path.join(ckpt_dir, "state"))
-    payload = {
-        "step": np.asarray(state.step),
-        "te_params": jax.tree.map(np.asarray, state.te_params),
-        "opt_state": jax.tree.map(np.asarray, state.opt_state),
-        "rng": np.asarray(state.rng),
-    }
-    ckptr.save(state_path, payload, force=True)
+    # (1) native trainer state (compact).  Only process 0 runs this writer,
+    # but orbax's save() barriers over its active_processes set — with the
+    # default (all processes) the barrier never completes and the writer
+    # thread hangs until the daemon is killed at exit.  Scope the
+    # checkpointer to process 0 (the payload is plain host numpy; no other
+    # process owns any shard of it).
+    mp_opts = (
+        ocp.options.MultiprocessingOptions(primary_host=0, active_processes={0})
+        if jax.process_count() > 1
+        else ocp.options.MultiprocessingOptions()
+    )
+    ckptr = ocp.StandardCheckpointer(multiprocessing_options=mp_opts)
+    ckptr.save(os.path.abspath(os.path.join(ckpt_dir, "state")), payload, force=True)
     ckptr.wait_until_finished()
+    with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
+        json.dump(
+            {"format": "compact-v1", "first_added_id": int(first_added_id),
+             "step": int(payload["step"])},
+            f,
+        )
 
     # (2) PEFT adapter (fp32), consumed by inference `load_adapter`.
     te_tree = (
-        state.te_params["te"]
-        if isinstance(state.te_params, dict) and "te" in state.te_params
-        else state.te_params
+        payload["te_params"]["te"]
+        if isinstance(payload["te_params"], dict) and "te" in payload["te_params"]
+        else payload["te_params"]
     )
     if lora_rank > 0:
         export_lora_adapter(
@@ -85,10 +167,59 @@ def save_checkpoint(
             base_model_name=base_model_name,
         )
 
-    # (3) token bins.
-    emb = np.asarray(_find_embedding(te_tree), dtype=np.float32)
-    export_token_embeddings(emb, token_to_id, ckpt_dir)
-    return ckpt_dir
+    # (3) token bins — added rows only ever cross the host link.
+    added = np.asarray(_find_embedding(te_tree), dtype=np.float32)
+    export_token_embeddings(
+        _RowView(added, first_added_id), token_to_id, ckpt_dir
+    )
+
+
+def save_checkpoint(
+    output_dir: str,
+    step: int,
+    state,
+    *,
+    first_added_id: int,
+    token_to_id: Dict[str, int],
+    lora_rank: int,
+    base_model_name: str = "",
+    total_limit: Optional[int] = None,
+    blocking: bool = True,
+) -> Tuple[str, Optional[threading.Thread]]:
+    """Write checkpoint-{step}/.  With blocking=False the d2h fetch and all
+    file writes happen on a daemon thread; the device-side compact copy
+    (cheap, ~MBs) is taken synchronously so the donated train state can
+    move on immediately.  Returns (ckpt_dir, writer_thread|None).
+
+    Multi-process: call from EVERY process (the snapshot is one SPMD
+    program over the global state); only process 0 writes."""
+    is_writer = jax.process_index() == 0
+    ckpt_dir = os.path.join(output_dir, f"checkpoint-{step}")
+    if is_writer:
+        prune_checkpoints(output_dir, total_limit)
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    payload_dev = snapshot_compact(state, first_added_id)
+    if not is_writer:
+        return ckpt_dir, None
+    kwargs = dict(
+        first_added_id=first_added_id,
+        token_to_id=token_to_id,
+        lora_rank=lora_rank,
+        base_model_name=base_model_name,
+    )
+    if blocking:
+        _write_checkpoint(ckpt_dir, payload_dev, **kwargs)
+        return ckpt_dir, None
+    thread = threading.Thread(
+        target=_write_checkpoint,
+        args=(ckpt_dir, payload_dev),
+        kwargs=kwargs,
+        daemon=True,
+        name=f"ckpt-writer-{step}",
+    )
+    thread.start()
+    return ckpt_dir, thread
 
 
 def _find_embedding(params) -> np.ndarray:
@@ -104,30 +235,76 @@ def latest_checkpoint(output_dir: str) -> Optional[str]:
     return os.path.join(output_dir, dirs[-1]) if dirs else None
 
 
-def restore_checkpoint(path: str, state_template) -> Any:
+def restore_checkpoint(path: str, state_template, first_added_id: int) -> Any:
     """Restore a TextBoostTrainState saved by save_checkpoint.  `path` is a
-    checkpoint-N dir or the output dir (resolves to latest)."""
+    checkpoint-N dir or the output dir (resolves to latest).
+
+    Compact format: embedding-shaped leaves hold only the added rows; they
+    are re-expanded ON DEVICE into the live template's buffers (the
+    template's original rows are exact — the step freezes them), so the
+    full matrix never crosses the host link.  Restore therefore assumes the
+    same base weights the checkpoint was trained from, which resuming a run
+    always satisfies."""
     if os.path.basename(path).startswith("checkpoint-"):
         ckpt_dir = path
     else:
         ckpt_dir = latest_checkpoint(path)
         if ckpt_dir is None:
             raise FileNotFoundError(f"No checkpoint-* under {path}")
-    ckptr = ocp.StandardCheckpointer()
-    template = {
-        "step": np.asarray(state_template.step),
-        "te_params": jax.tree.map(np.asarray, state_template.te_params),
-        "opt_state": jax.tree.map(np.asarray, state_template.opt_state),
-        "rng": np.asarray(state_template.rng),
-    }
-    restored = ckptr.restore(
-        os.path.abspath(os.path.join(ckpt_dir, "state")), template
+    meta_path = os.path.join(ckpt_dir, "meta.json")
+    if os.path.isfile(meta_path):
+        meta = json.load(open(meta_path))
+        if meta.get("first_added_id") != int(first_added_id):
+            raise ValueError(
+                f"checkpoint {ckpt_dir} was saved with first_added_id="
+                f"{meta.get('first_added_id')}, current run has "
+                f"{first_added_id} — token configuration changed?"
+            )
+
+    template = _state_dict(state_template)
+
+    def abstract(path, leaf):
+        shape = tuple(leaf.shape)
+        if _is_embedding_leaf(path, leaf):
+            shape = (shape[0] - first_added_id,) + shape[1:]
+        return jax.ShapeDtypeStruct(shape, leaf.dtype)
+
+    abs_tree = jax.tree_util.tree_map_with_path(abstract, template)
+    # Barrier-free restore: the payload is replicated plain-numpy read from
+    # a shared FS, so every process restores independently and identically.
+    # Orbax's default cross-process sync here is the FIRST collective of a
+    # resumed run; on skewed hosts the 30 s Gloo context-init deadline can
+    # lapse before the slowest process arrives (observed on the 1-core CI
+    # host).  Scoping active_processes to self makes orbax skip the sync.
+    ckptr = ocp.StandardCheckpointer(
+        multiprocessing_options=ocp.options.MultiprocessingOptions(
+            primary_host=jax.process_index(),
+            active_processes={jax.process_index()},
+            barrier_sync_key_prefix=f"p{jax.process_index()}",
+        )
     )
+    restored = ckptr.restore(
+        os.path.abspath(os.path.join(ckpt_dir, "state")), abs_tree
+    )
+
+    expand = jax.jit(
+        lambda full, rows: full.at[first_added_id:].set(
+            rows.astype(full.dtype)
+        )
+    )
+
+    def merge(path, tpl, rest):
+        if _is_embedding_leaf(path, tpl):
+            return expand(tpl, jnp.asarray(rest))
+        return rest
+
+    merged = jax.tree_util.tree_map_with_path(merge, template, restored)
+
     from .step import TextBoostTrainState
 
     return TextBoostTrainState(
-        step=restored["step"],
-        te_params=restored["te_params"],
-        opt_state=restored["opt_state"],
-        rng=restored["rng"],
+        step=merged["step"],
+        te_params=merged["te_params"],
+        opt_state=merged["opt_state"],
+        rng=merged["rng"],
     )

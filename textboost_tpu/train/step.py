@@ -24,7 +24,7 @@ import optax
 from ..lora.partition import (
     added_embedding_norm,
     apply_mixing_mask,
-    clip_encoder_grads,
+    encoder_grad_norm,
     merge_lora,
     renorm_added_embeddings,
     trainable_mask,
@@ -55,6 +55,9 @@ class StepConfig:
     eos_token_id: int = 49407
     fixed_special: bool = True
     train_unet: bool = False  # --unet_params_to_train != none
+    # --text_encoder_use_attention_mask: thread the tokenizer pad mask into
+    # the CLIP forward (reference textboost/utils.py:11-26).
+    use_attention_mask: bool = False
 
 
 @jax.tree_util.register_pytree_node_class
@@ -98,7 +101,13 @@ def make_train_step(
     )
 
     def encode_text(params, input_ids, apply_fn, null_emb):
-        hidden, _ = apply_fn(params, input_ids)
+        if config.use_attention_mask:
+            from ..models.clip import pad_attention_mask
+
+            mask = pad_attention_mask(input_ids, config.eos_token_id)
+            hidden, _ = apply_fn(params, input_ids, attention_mask=mask)
+        else:
+            hidden, _ = apply_fn(params, input_ids)
         return apply_null_embedding_patch(
             hidden, input_ids, null_emb, config.eos_token_id, config.fixed_special
         )
@@ -213,14 +222,26 @@ def make_train_step(
             state.te_params, frozen, batch, noisy, noise, latents, timesteps
         )
 
-        # ---- gradient surgery (train_textboost.py:1109-1133) ----
+        # ---- gradient surgery (train_textboost.py:1109-1126) ----
         grads = zero_frozen_grads(grads, trainable_mask(state.te_params))
         grads = zero_original_vocab_rows(grads, config.first_added_token_id)
         if config.mixing:
             grads = apply_mixing_mask(grads, config.augment_ops)
-        grads, grad_norm = clip_encoder_grads(grads, config.max_grad_norm)
+        # Pre-clip norm for metrics only; the encoder-only clip itself runs
+        # INSIDE the optimizer chain (partition.make_optimizer) so that
+        # under accumulation it applies once to the averaged grads, as the
+        # reference does post-sync (train_textboost.py:1128-1133).
+        grad_norm = encoder_grad_norm(grads)
 
         updates, opt_state = optimizer.update(grads, state.opt_state, state.te_params)
+        # Exact-freeze of original vocab rows: the reference's decoupled
+        # weight decay shrinks zero-grad original embedding rows by
+        # lr*wd/step as an invisible side effect (torch AdamW decays every
+        # param in the group) — those rows are never exported and never
+        # consumed at inference, so here they are pinned exactly.  This
+        # also makes the compact checkpoint lossless (train/checkpoint.py
+        # stores only added rows).  PARITY.md deviation 4.
+        updates = zero_original_vocab_rows(updates, config.first_added_token_id)
         te_params = optax.apply_updates(state.te_params, updates)
 
         # ---- post-step embedding renorm (train_textboost.py:1138-1150) ----
