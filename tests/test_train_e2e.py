@@ -132,6 +132,18 @@ def test_resume_from_checkpoint(instance_dir, tmp_path):
         jax.tree.leaves(t1.state.opt_state), jax.tree.leaves(t2.state.opt_state)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # COMPACT on disk: frozen base weights must not be stored (over the
+    # real TPU's 1-5 MB/s d2h tunnel a full-state checkpoint costs minutes
+    # and stalls the train loop's h2d behind the writer's fetch).
+    state_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(os.path.join(out, "checkpoint-2", "state"))
+        for f in files
+    )
+    full_bytes = sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(t1.state.te_params)
+    )
+    assert state_bytes < full_bytes / 3, (state_bytes, full_bytes)
     result = t2.train()
     assert result["steps"] == 4
     emb1 = np.asarray(t1.state.te_params["params"]["token_embedding"])

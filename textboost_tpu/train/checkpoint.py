@@ -12,16 +12,18 @@ Retention pruning honors checkpoints_total_limit (:1159-1175).
 
 TPU-native twist — COMPACT, ASYNC checkpoints.  The reference's
 `save_state` writes the whole trainable tree + optimizer state; here that
-would drag the full grown embedding matrix (and its Adam moments — several
-hundred MB) to the host synchronously, over a d2h link measured at
-1-5 MB/s.  But the train step pins original vocab rows exactly (zeroed
-updates, train/step.py), so every embedding-shaped leaf is bit-identical
-to its freshly-initialized template outside the added rows: the checkpoint
-only needs the ADDED rows (a few KB) plus the LoRA leaves and their
-moments (~MBs).  `snapshot_compact` slices+copies on device in one jitted
-program; a background thread then fetches and writes without blocking the
-train loop.  Restore re-expands into the live template on device, so the
-full matrix never crosses the host link in either direction.
+would drag the full trainable tree + Adam moments (~500 MB: frozen encoder
+base weights, grown embedding matrix) to the host synchronously, over a
+d2h link measured at 1-5 MB/s — minutes per checkpoint.  But the optimizer
+pins everything frozen exactly (FROZEN -> set_to_zero; original vocab rows
+zeroed in-step), so those leaves are bit-identical to the freshly-
+initialized template: the checkpoint only needs the ADDED embedding rows
+(a few KB), the LoRA leaves and their moments (~MBs), and small scalars
+(step/rng/schedule counts).  `snapshot_compact` classifies every leaf
+(slice/keep/drop), slices+copies on device in one jitted program; a
+background thread then fetches and writes without blocking the train loop.
+Restore re-expands into the live template on device, so frozen weights
+never cross the host link in either direction.
 """
 from __future__ import annotations
 
@@ -72,6 +74,35 @@ def _is_embedding_leaf(path, leaf) -> bool:
     ) == 2
 
 
+# Leaves worth persisting besides the sliced embedding rows: LoRA adapters
+# (and their Adam moments, whose paths mirror the param paths) and anything
+# small — scalars (step, schedule counts), rng keys, norm scales.  Large
+# leaves outside these are the frozen encoder base weights, which the
+# optimizer pins exactly (FROZEN -> optax.set_to_zero), so storing them
+# would ship ~340 MB of bit-identical template data through a 1-5 MB/s
+# d2h tunnel per checkpoint.
+_KEEP_SUBSTRINGS = ("lora_a", "lora_b", "unet_lora")
+# Everything trainable is lora/embedding-pathed; leaves above this size
+# elsewhere are frozen weights (kernels/mlp).  Threshold only has to sit
+# above the biggest non-param scalar-ish leaf (rng keys, schedule counts,
+# norm scales ~hidden_size) and below the smallest frozen kernel.
+_SMALL_LEAF_SIZE = 2048
+
+
+def _leaf_class(path, leaf) -> str:
+    """'slice' (embedding: keep added rows), 'keep', or 'drop' (frozen
+    base weights — restored from the live template)."""
+    if _is_embedding_leaf(path, leaf):
+        return "slice"
+    p = _path_str(path)
+    if any(s in p for s in _KEEP_SUBSTRINGS):
+        return "keep"
+    size = 1
+    for d in getattr(leaf, "shape", ()):
+        size *= d
+    return "keep" if size <= _SMALL_LEAF_SIZE else "drop"
+
+
 def _state_dict(state) -> Dict[str, Any]:
     return {
         "step": state.step,
@@ -84,7 +115,12 @@ def _state_dict(state) -> Dict[str, Any]:
 @functools.lru_cache(maxsize=8)
 def _snapshot_fn(first_added_id: int):
     def fix(path, leaf):
-        if _is_embedding_leaf(path, leaf):
+        cls = _leaf_class(path, leaf)
+        if cls == "drop":
+            # One-element placeholder keeps the tree structure (orbax
+            # rejects zero-size arrays) at negligible storage cost.
+            return jnp.zeros((1,), leaf.dtype)
+        if cls == "slice":
             leaf = leaf[first_added_id:]
         # jnp.copy: the returned buffers must not alias the (donated) train
         # state, or the next step would invalidate them under the async
@@ -148,7 +184,7 @@ def _write_checkpoint(
     ckptr.wait_until_finished()
     with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
         json.dump(
-            {"format": "compact-v1", "first_added_id": int(first_added_id),
+            {"format": "compact-v2", "first_added_id": int(first_added_id),
              "step": int(payload["step"])},
             f,
         )
@@ -264,8 +300,11 @@ def restore_checkpoint(path: str, state_template, first_added_id: int) -> Any:
     template = _state_dict(state_template)
 
     def abstract(path, leaf):
+        cls = _leaf_class(path, leaf)
+        if cls == "drop":
+            return jax.ShapeDtypeStruct((1,), leaf.dtype)
         shape = tuple(leaf.shape)
-        if _is_embedding_leaf(path, leaf):
+        if cls == "slice":
             shape = (shape[0] - first_added_id,) + shape[1:]
         return jax.ShapeDtypeStruct(shape, leaf.dtype)
 
@@ -294,8 +333,13 @@ def restore_checkpoint(path: str, state_template, first_added_id: int) -> Any:
     )
 
     def merge(path, tpl, rest):
-        if _is_embedding_leaf(path, tpl):
+        cls = _leaf_class(path, tpl)
+        if cls == "slice":
             return expand(tpl, jnp.asarray(rest))
+        if cls == "drop":
+            # Frozen base leaf: bit-identical in the live template (the
+            # optimizer maps FROZEN params through set_to_zero).
+            return tpl
         return rest
 
     merged = jax.tree_util.tree_map_with_path(merge, template, restored)
