@@ -25,6 +25,7 @@ def _rand(shape, seed):
         (1, 256, 2, 64),
         (2, 512, 2, 40),  # SD1.5 level-0 head dim (pads 40 -> 128)
         (1, 256, 1, 128),
+        (1, 256, 1, 512),  # VAE mid-block: single head, d=512
     ],
 )
 def test_forward_matches_reference(b, n, h, d):
@@ -33,6 +34,23 @@ def test_forward_matches_reference(b, n, h, d):
     out = flash_attention(q, k, v, scale=scale, interpret=True, block_q=128, block_k=128)
     ref = _ref_attention(q, k, v, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_vae_midblock_shape_supported_and_matches():
+    """d=512/h=1 (VAE mid-block) is inside the kernel envelope and agrees
+    with XLA in both directions at the tuned default blocks."""
+    b, n, h, d = 1, 512, 1, 512
+    assert supports_flash(n, n, d)
+    q, k, v = _rand((b, n, h, d), 0), _rand((b, n, h, d), 1), _rand((b, n, h, d), 2)
+    scale = d**-0.5
+    out = flash_attention(q, k, v, scale=scale, interpret=True)
+    ref = _ref_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+    gf = jax.grad(
+        lambda q: jnp.sum(flash_attention(q, k, v, scale=scale, interpret=True) ** 2)
+    )(q)
+    gr = jax.grad(lambda q: jnp.sum(_ref_attention(q, k, v, scale) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=5e-5, rtol=5e-4)
 
 
 def test_backward_matches_reference():

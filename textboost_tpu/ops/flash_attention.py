@@ -23,6 +23,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# d=512 (VAE mid-block, single head) holds [n_kv, 512] K/V refs plus f32
+# working tiles — past Mosaic's default 16 MB scoped-VMEM budget.  v5e has
+# 128 MB physical VMEM; lift the limit like ops/group_norm.py does.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 
 def _block(n: int, target: int) -> int:
     b = min(n, target)
@@ -93,6 +98,7 @@ def _fwd(q, k, v, scale, block_q, block_k, kv_len, interpret):
             jax.ShapeDtypeStruct((bh, n, d), q.dtype),
             jax.ShapeDtypeStruct((bh, n, 128), jnp.float32),
         ],
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(q, k, v)
     return out, lse[:, :, :1]
@@ -204,6 +210,7 @@ def _bwd(scale, block_q, block_k, kv_len, interpret, residuals, dout):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(q, k, v, dout, stats)
@@ -214,19 +221,23 @@ def _bwd(scale, block_q, block_k, kv_len, interpret, residuals, dout):
 # ---------------------------------------------------------------------------
 # custom_vjp wrapper on [BH, N, D]
 # ---------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_bhnd(q, k, v, scale, block_q, block_k, kv_len, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _flash_bhnd(q, k, v, scale, block_q, block_k, bwd_block_q, bwd_block_k,
+                kv_len, interpret):
     out, _ = _fwd(q, k, v, scale, block_q, block_k, kv_len, interpret)
     return out
 
 
-def _flash_fwd_rule(q, k, v, scale, block_q, block_k, kv_len, interpret):
+def _flash_fwd_rule(q, k, v, scale, block_q, block_k, bwd_block_q,
+                    bwd_block_k, kv_len, interpret):
     out, lse = _fwd(q, k, v, scale, block_q, block_k, kv_len, interpret)
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd_rule(scale, block_q, block_k, kv_len, interpret, residuals, dout):
-    return _bwd(scale, block_q, block_k, kv_len, interpret, residuals, dout)
+def _flash_bwd_rule(scale, block_q, block_k, bwd_block_q, bwd_block_k,
+                    kv_len, interpret, residuals, dout):
+    return _bwd(scale, bwd_block_q, bwd_block_k, kv_len, interpret,
+                residuals, dout)
 
 
 _flash_bhnd.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -234,8 +245,10 @@ _flash_bhnd.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 def supports_flash(n_q: int, n_kv: int, d: int) -> bool:
     """Shapes the kernel handles.  KV length is padded to the 128 boundary
-    by the wrapper (tail masked in-kernel), so only Q needs divisibility."""
-    return n_q % 128 == 0 and n_q >= 256 and d <= 256
+    by the wrapper (tail masked in-kernel), so only Q needs divisibility.
+    d up to 512 covers the VAE mid-block single-head attention (the
+    pallas_call raises the Mosaic VMEM limit to hold the wider K/V)."""
+    return n_q % 128 == 0 and n_q >= 256 and d <= 512
 
 
 def flash_attention(
@@ -244,14 +257,22 @@ def flash_attention(
     v: jnp.ndarray,
     *,
     scale: float,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1024,
+    bwd_block_q: int = 256,
+    bwd_block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over [B, N, H, D] (ops/attention.py layout).
 
     Handles short/unaligned KV (cross-attention over 77 text tokens) by
-    zero-padding KV to the 128 boundary and masking the tail in-kernel."""
+    zero-padding KV to the 128 boundary and masking the tail in-kernel.
+
+    Block defaults are tuned on v5e at the sd15 UNet hot shape (bs8,
+    seq4096, h8, d40; tools/bench_flash.py): fwd is fastest at
+    (block_q=512, block_k=1024), the fused backward at
+    (block_q=256, block_k=1024) — each ~11% over the previous
+    (256, 512) defaults."""
     b, n, h, d = q.shape
     n_kv = k.shape[1]
     if not supports_flash(n, n_kv, d):
@@ -266,6 +287,8 @@ def flash_attention(
     n_kv_padded = n_kv + kv_pad
     block_q = _block(n, block_q)
     block_k = _block(n_kv_padded, block_k)
+    bwd_block_q = _block(n, bwd_block_q)
+    bwd_block_k = _block(n_kv_padded, bwd_block_k)
 
     # Pad head dim to the 128-lane boundary; zero columns do not change
     # softmax(q k^T) v and receive zero gradients.
@@ -279,6 +302,7 @@ def flash_attention(
         kv_padder = lambda x: jnp.pad(x, ((0, 0), (0, kv_pad), (0, 0)))
         kt, vt = kv_padder(kt), kv_padder(vt)
 
-    out = _flash_bhnd(qt, kt, vt, scale, block_q, block_k, n_kv, interpret)
+    out = _flash_bhnd(qt, kt, vt, scale, block_q, block_k, bwd_block_q,
+                      bwd_block_k, n_kv, interpret)
     out = out[:, :, :d].reshape(b, h, n, d).transpose(0, 2, 1, 3)
     return out.astype(q.dtype)
