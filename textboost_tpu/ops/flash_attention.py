@@ -291,8 +291,13 @@ def flash_attention(
     bwd_block_k = _block(n_kv_padded, bwd_block_k)
 
     # Pad head dim to the 128-lane boundary; zero columns do not change
-    # softmax(q k^T) v and receive zero gradients.
-    d_pad = (-d) % 128
+    # softmax(q k^T) v and receive zero gradients.  With
+    # TEXTBOOST_FLASH_NOPAD=1 the unaligned head dim is passed through and
+    # Mosaic masks the lane tail instead (experiment: trades the explicit
+    # HBM pad/slice copies for unaligned VMEM tiles).
+    import os
+
+    d_pad = 0 if os.environ.get("TEXTBOOST_FLASH_NOPAD") == "1" else (-d) % 128
     to_bhnd = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
     qt, kt, vt = to_bhnd(q), to_bhnd(k), to_bhnd(v)
     if d_pad:
