@@ -98,7 +98,10 @@ def test_inference_cli(tmp_path):
         {"<dog>": torch.randn(64)}, model_dir / "<dog>.bin"
     )
     out_img = tmp_path / "grid.jpg"
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # TEXTBOOST_PLATFORM (not JAX_PLATFORMS, which the axon plugin ignores)
+    # forces the subprocess onto CPU; without env= the CLI would run against
+    # the live TPU relay and time out whenever the relay degrades.
+    env = dict(os.environ, TEXTBOOST_PLATFORM="cpu")
     result = subprocess.run(
         [
             sys.executable,
@@ -114,6 +117,7 @@ def test_inference_cli(tmp_path):
         text=True,
         timeout=500,
         cwd=REPO,
+        env=env,
     )
     assert result.returncode == 0, result.stderr[-2000:]
     assert out_img.exists()

@@ -182,7 +182,6 @@ def test_convert_scorers_cli(tmp_path):
     src = tmp_path / "dinov2.pth"
     torch.save(hf.state_dict(), src)
     out = tmp_path / "weights"
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
     # tiny geometry is not the CLI default; drive the converter directly
     from textboost_tpu.eval.scorer_weights import (
         _load_state_dict,
