@@ -474,6 +474,30 @@ def main():
         )
     _platform_override()
 
+    # Watchdog: the tunneled relay's compile service can degrade into a
+    # full hang (observed r3: even TPU client init blocked >10 min).  A
+    # hang would leave the caller with NO output line at its own timeout;
+    # emit the failure JSON and exit instead.  Tunable/disable via
+    # TEXTBOOST_BENCH_WATCHDOG_S (0 disables).
+    watchdog_s = int(os.environ.get("TEXTBOOST_BENCH_WATCHDOG_S", "2700"))
+    if watchdog_s > 0:
+        import threading
+
+        def _abort():
+            print(json.dumps({
+                "metric": f"bench_{args.mode}_failed",
+                "value": 0.0,
+                "unit": "error",
+                "vs_baseline": 0.0,
+                "extra": {"error": f"watchdog: no result after {watchdog_s}s "
+                          "(TPU relay unresponsive?)"},
+            }), flush=True)
+            os._exit(3)
+
+        timer = threading.Timer(watchdog_s, _abort)
+        timer.daemon = True
+        timer.start()
+
     try:
         result = {"train": bench_train, "sample": bench_sample,
                   "e2e": bench_e2e, "parts": bench_parts}[args.mode](args)
