@@ -26,10 +26,25 @@ def main():
     parser.add_argument("--dino", type=str, default=None,
                         help="DINOv2 checkpoint (facebookresearch .pth or "
                         "transformers Dinov2Model dir/safetensors)")
+    parser.add_argument("--vqa-t5", type=str, default=None,
+                        help="flan-t5 T5ForConditionalGeneration checkpoint "
+                        "(the clip-flant5 language backbone)")
+    parser.add_argument("--vqa-vision", type=str, default=None,
+                        help="CLIP checkpoint for the clip-flant5 vision "
+                        "tower (transformers CLIPModel layout)")
+    parser.add_argument("--vqa-projector", type=str, default=None,
+                        help="mm_projector weights (LLaVA nn.Sequential "
+                        "layout: indices 0/2)")
+    parser.add_argument("--vqa-tokenizer", type=str, default=None,
+                        help="flan-t5 tokenizer.json (copied into <out>/vqa)")
+    parser.add_argument("--yes-token-id", type=int, default=2163,
+                        help="token id of 'Yes' in the T5 vocab (VQAScore "
+                        "answer token)")
     parser.add_argument("--out", type=str, required=True)
     args = parser.parse_args()
-    if not (args.clip or args.dino):
-        parser.error("nothing to convert: pass --clip and/or --dino")
+    vqa_parts = args.vqa_t5 or args.vqa_vision or args.vqa_projector
+    if not (args.clip or args.dino or vqa_parts):
+        parser.error("nothing to convert: pass --clip/--dino/--vqa-*")
 
     import jax
 
@@ -57,6 +72,38 @@ def main():
         out = os.path.join(args.out, "dino.msgpack")
         save_converted(params, out)
         print(f"wrote {out}")
+
+    if vqa_parts or args.vqa_tokenizer:
+        import json
+        import shutil
+
+        from textboost_tpu.eval.scorer_weights import (
+            convert_clip_vision,
+            convert_mm_projector,
+            convert_t5,
+        )
+        from textboost_tpu.eval.vqa import CLIPT5Model
+
+        vqa_dir = os.path.join(args.out, "vqa")
+        os.makedirs(vqa_dir, exist_ok=True)
+        model = CLIPT5Model()  # clip-flant5-xxl geometry defaults
+        template = model.shape_template()
+        for part, src, fn in (
+            ("t5", args.vqa_t5, convert_t5),
+            ("vision", args.vqa_vision, convert_clip_vision),
+            ("projector", args.vqa_projector, convert_mm_projector),
+        ):
+            if not src:
+                continue
+            params = fn(_load_state_dict(src), template[part])
+            out = os.path.join(vqa_dir, f"{part}.msgpack")
+            save_converted(params, out)
+            print(f"wrote {out}")
+        if args.vqa_tokenizer:
+            shutil.copy(args.vqa_tokenizer, os.path.join(vqa_dir, "tokenizer.json"))
+        with open(os.path.join(vqa_dir, "config.json"), "w") as f:
+            json.dump({"yes_token_id": args.yes_token_id}, f)
+        print(f"wrote {os.path.join(vqa_dir, 'config.json')}")
 
 
 if __name__ == "__main__":

@@ -56,6 +56,9 @@ def parse_args():
     parser.add_argument("--allow-random-scorers", action="store_true",
                         help="explicitly permit random-init scorers (scores "
                         "are self-consistent only, NOT paper-comparable)")
+    parser.add_argument("--vqa-weights", type=str, default=None,
+                        help="dir with converted clip-flant5 weights for the "
+                        "native VQAScore (convert_scorers.py --vqa-t5 ...)")
     parser.add_argument("--null-emb-path", type=str, default=None,
                         help="reference-format null/start embedding .pt asset")
     return parser.parse_args()
@@ -212,12 +215,28 @@ def compute_metrics(args, outdir):
         clip_scorer, dino_scorer = load_scorers(args.scorer_weights)
     vqa_scorer = None
     if "vqa" in args.metric:
-        from textboost_tpu.eval.vqa import vqa_available, VQAScorer
+        from textboost_tpu.eval.vqa import (
+            NativeVQAScorer,
+            VQAScorer,
+            vqa_available,
+        )
 
-        if vqa_available():
+        if args.vqa_weights:
+            # Native clip-flant5 (eval/vqa.py): converted real weights.
+            vqa_scorer = NativeVQAScorer(args.vqa_weights)
+        elif vqa_available():
             vqa_scorer = VQAScorer()
+        elif args.allow_random_scorers:
+            print(
+                "WARNING: VQAScore running the tiny random-init native "
+                "clip-flant5 (no --vqa-weights); self-consistent only."
+            )
+            vqa_scorer = NativeVQAScorer()
         else:
-            print("WARNING: VQAScore (clip-flant5-xxl) unavailable offline; skipping.")
+            print(
+                "WARNING: VQAScore skipped — pass --vqa-weights (converted "
+                "clip-flant5, see convert_scorers.py) or install t2v_metrics."
+            )
     tokenizer = load_tokenizer(None)
 
     model_name = os.path.basename(args.path.rstrip("/"))

@@ -93,8 +93,14 @@ class CLIPVisionModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
-        """pixels [B,H,W,3], CLIP-normalized -> pooled (CLS, post-LN) [B,D]."""
+    def __call__(self, pixels: jnp.ndarray, feature_layer=None) -> jnp.ndarray:
+        """pixels [B,H,W,3], CLIP-normalized -> pooled (CLS, post-LN) [B,D].
+
+        feature_layer (e.g. -2) switches to LLaVA-style patch-feature
+        extraction for the VQA scorer: run through hidden_states[
+        feature_layer] (HF indexing, embeddings = index 0) and return the
+        patch tokens [B, P, D] — no CLS, no post_layernorm (the clip-flant5
+        vision conditioning, eval/vqa.py)."""
         cfg = self.config
         patches = nn.Conv(
             cfg.hidden_size,
@@ -115,8 +121,20 @@ class CLIPVisionModel(nn.Module):
         )
         hidden = hidden + pos.astype(self.dtype)[None]
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="pre_layrnorm")(hidden)
-        for i in range(cfg.num_hidden_layers):
+        n_run = cfg.num_hidden_layers
+        if feature_layer is not None:
+            # hidden_states[k] = output of block k-1 (index 0 = embeddings):
+            # -2 ==> stop after num_layers-1 blocks.
+            n_run = (
+                cfg.num_hidden_layers + 1 + feature_layer
+                if feature_layer < 0
+                else feature_layer
+            )
+            assert 0 < n_run <= cfg.num_hidden_layers, feature_layer
+        for i in range(n_run):
             hidden = _VisionLayer(cfg, self.dtype, name=f"layers_{i}")(hidden)
+        if feature_layer is not None:
+            return hidden[:, 1:]  # patch tokens, no CLS, no post-LN
         pooled = hidden[:, 0]
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="post_layernorm")(pooled)
 

@@ -60,44 +60,141 @@ def convert_clip_model(sd: Dict[str, np.ndarray], flax_params) -> Dict:
     for k, v in params.items():
         if k[0] != "vision_model":
             continue
-        rest = k[1:]
-        leaf = rest[-1]
-        wb = {"kernel": "weight", "bias": "bias", "scale": "weight"}.get(leaf)
-        if rest[0] == "patch_embedding":
-            arr = np.asarray(
-                sd["vision_model.embeddings.patch_embedding.weight"], np.float32
-            ).transpose(2, 3, 1, 0)
-        elif rest[0] == "class_embedding":
-            arr = np.asarray(sd["vision_model.embeddings.class_embedding"], np.float32)
-        elif rest[0] == "position_embedding":
-            arr = np.asarray(
-                sd["vision_model.embeddings.position_embedding.weight"], np.float32
-            )
-        elif rest[0] in ("pre_layrnorm", "post_layernorm"):
-            arr = np.asarray(sd[f"vision_model.{rest[0]}.{wb}"], np.float32)
-        else:
-            m = re.match(r"layers_(\d+)$", rest[0])
-            if not m:
-                raise KeyError(f"unmapped vision leaf {k}")
-            i = m.group(1)
-            sub = rest[1]
-            torch_sub = {
-                "q_proj": "self_attn.q_proj", "k_proj": "self_attn.k_proj",
-                "v_proj": "self_attn.v_proj", "out_proj": "self_attn.out_proj",
-                "layer_norm1": "layer_norm1", "layer_norm2": "layer_norm2",
-                "fc1": "mlp.fc1", "fc2": "mlp.fc2",
-            }[sub]
-            arr = np.asarray(
-                sd[f"vision_model.encoder.layers.{i}.{torch_sub}.{wb}"], np.float32
-            )
-            if leaf == "kernel":
-                arr = arr.T
+        arr = _vision_leaf(sd, "vision_model.", k[1:])
         if tuple(arr.shape) != tuple(np.shape(v)):
             raise ValueError(f"{k}: {arr.shape} vs {np.shape(v)}")
         out[k] = arr
 
     out[("text_projection", "kernel")] = _t(sd["text_projection.weight"])
     out[("visual_projection", "kernel")] = _t(sd["visual_projection.weight"])
+    return {"params": flax.traverse_util.unflatten_dict(out)}
+
+
+def _vision_leaf(sd: Dict[str, np.ndarray], prefix: str, rest) -> np.ndarray:
+    """Map one CLIPVisionModel flax leaf path to its torch array."""
+    leaf = rest[-1]
+    wb = {"kernel": "weight", "bias": "bias", "scale": "weight"}.get(leaf)
+    if rest[0] == "patch_embedding":
+        return np.asarray(
+            sd[f"{prefix}embeddings.patch_embedding.weight"], np.float32
+        ).transpose(2, 3, 1, 0)
+    if rest[0] == "class_embedding":
+        return np.asarray(sd[f"{prefix}embeddings.class_embedding"], np.float32)
+    if rest[0] == "position_embedding":
+        return np.asarray(
+            sd[f"{prefix}embeddings.position_embedding.weight"], np.float32
+        )
+    if rest[0] in ("pre_layrnorm", "post_layernorm"):
+        return np.asarray(sd[f"{prefix}{rest[0]}.{wb}"], np.float32)
+    m = re.match(r"layers_(\d+)$", rest[0])
+    if not m:
+        raise KeyError(f"unmapped vision leaf {rest}")
+    torch_sub = {
+        "q_proj": "self_attn.q_proj", "k_proj": "self_attn.k_proj",
+        "v_proj": "self_attn.v_proj", "out_proj": "self_attn.out_proj",
+        "layer_norm1": "layer_norm1", "layer_norm2": "layer_norm2",
+        "fc1": "mlp.fc1", "fc2": "mlp.fc2",
+    }[rest[1]]
+    arr = np.asarray(
+        sd[f"{prefix}encoder.layers.{m.group(1)}.{torch_sub}.{wb}"], np.float32
+    )
+    return arr.T if leaf == "kernel" else arr
+
+
+def convert_clip_vision(
+    sd: Dict[str, np.ndarray], flax_params, prefix: str = "vision_model."
+) -> Dict:
+    """Bare CLIPVisionModel tree (possibly truncated at a feature layer —
+    the clip-flant5 vision tower) from a transformers CLIPModel state dict."""
+    params = flax.traverse_util.flatten_dict(flax_params["params"])
+    if not any(k.startswith(prefix) for k in sd):
+        prefix = ""  # vision-only checkpoint
+    out = {}
+    for k, v in params.items():
+        arr = _vision_leaf(sd, prefix, k)
+        if tuple(arr.shape) != tuple(np.shape(v)):
+            raise ValueError(f"{k}: {arr.shape} vs {np.shape(v)}")
+        out[k] = arr
+    return {"params": flax.traverse_util.unflatten_dict(out)}
+
+
+def convert_mm_projector(sd: Dict[str, np.ndarray], flax_params) -> Dict:
+    """LLaVA-style mm_projector (torch nn.Sequential: Linear indices 0, 2
+    with a GELU between) -> eval/vqa.py _Projector tree (linear_0/linear_1).
+    Accepts keys like '0.weight', 'mm_projector.0.weight', or
+    'model.mm_projector.0.weight'."""
+    lin = {}
+    for k, v in sd.items():
+        m = re.search(r"(?:^|\.)(\d+)\.(weight|bias)$", k)
+        if m:
+            lin.setdefault(int(m.group(1)), {})[m.group(2)] = np.asarray(
+                v, np.float32
+            )
+    order = sorted(lin)
+    params = flax.traverse_util.flatten_dict(flax_params["params"])
+    out = {}
+    for k, v in params.items():
+        m = re.match(r"linear_(\d+)$", k[0])
+        if not m:
+            raise KeyError(f"unmapped projector leaf {k}")
+        src = lin[order[int(m.group(1))]]
+        arr = _t(src["weight"]) if k[-1] == "kernel" else src["bias"]
+        if tuple(np.shape(arr)) != tuple(np.shape(v)):
+            raise ValueError(f"{k}: {np.shape(arr)} vs {np.shape(v)}")
+        out[k] = arr
+    return {"params": flax.traverse_util.unflatten_dict(out)}
+
+
+def convert_t5(sd: Dict[str, np.ndarray], flax_params) -> Dict:
+    """transformers T5ForConditionalGeneration state dict -> eval/t5.py
+    param tree (the language backbone of clip-flant5, VQAScore)."""
+    params = flax.traverse_util.flatten_dict(flax_params["params"])
+    out = {}
+    for k, v in params.items():
+        if k == ("shared", "embedding"):
+            arr = np.asarray(sd["shared.weight"], np.float32)
+        elif k == ("lm_head", "kernel"):
+            arr = _t(sd["lm_head.weight"])
+        else:
+            stack = k[0]  # encoder | decoder
+            if k[1] == "final_layer_norm":
+                arr = np.asarray(sd[f"{stack}.final_layer_norm.weight"], np.float32)
+            else:
+                m = re.match(r"block_(\d+)$", k[1])
+                if not m:
+                    raise KeyError(f"unmapped T5 leaf {k}")
+                i = m.group(1)
+                sub, leaf = k[2], k[-1]
+                # Sub-layer order differs between stacks: the decoder has
+                # a cross-attention at layer.1, pushing FF to layer.2.
+                ff_idx = 2 if stack == "decoder" else 1
+                base = f"{stack}.block.{i}"
+                if sub == "self_attn":
+                    if leaf == "relative_attention_bias":
+                        arr = np.asarray(
+                            sd[f"{base}.layer.0.SelfAttention."
+                               "relative_attention_bias.weight"], np.float32)
+                    else:
+                        arr = _t(sd[f"{base}.layer.0.SelfAttention.{k[3]}.weight"])
+                elif sub == "self_attn_norm":
+                    arr = np.asarray(sd[f"{base}.layer.0.layer_norm.weight"],
+                                     np.float32)
+                elif sub == "cross_attn":
+                    arr = _t(sd[f"{base}.layer.1.EncDecAttention.{k[3]}.weight"])
+                elif sub == "cross_attn_norm":
+                    arr = np.asarray(sd[f"{base}.layer.1.layer_norm.weight"],
+                                     np.float32)
+                elif sub == "ff":
+                    arr = _t(sd[f"{base}.layer.{ff_idx}.DenseReluDense."
+                                f"{k[3]}.weight"])
+                elif sub == "ff_norm":
+                    arr = np.asarray(
+                        sd[f"{base}.layer.{ff_idx}.layer_norm.weight"], np.float32)
+                else:
+                    raise KeyError(f"unmapped T5 leaf {k}")
+        if tuple(np.shape(arr)) != tuple(np.shape(v)):
+            raise ValueError(f"{k}: {np.shape(arr)} vs {np.shape(v)}")
+        out[k] = arr
     return {"params": flax.traverse_util.unflatten_dict(out)}
 
 
