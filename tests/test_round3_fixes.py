@@ -157,3 +157,21 @@ def test_original_vocab_rows_exactly_frozen():
         ).max()
         > 0.0
     )
+
+
+def test_fetch_metrics_single_transfer_matches_per_item_float():
+    """Trainer._fetch_metrics (one stacked d2h instead of a round-trip per
+    scalar) returns the same values as per-item float()."""
+    import jax.numpy as jnp
+
+    from textboost_tpu.train.trainer import Trainer
+
+    metrics = {
+        "loss": jnp.float32(0.125),
+        "grad_norm": jnp.float32(3.5),
+        "kpl": jnp.asarray(0.25),
+        "prior_loss": 0.0,  # python scalar leaves survive too
+    }
+    got = Trainer._fetch_metrics(object.__new__(Trainer), metrics)
+    want = {k: float(v) for k, v in metrics.items()}
+    assert got == want

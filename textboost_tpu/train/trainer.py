@@ -12,7 +12,7 @@ import json
 import logging
 import os
 import time
-from typing import Dict, List
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -108,6 +108,22 @@ class Trainer:
         self._metrics_file.write(json.dumps(rec) + "\n")
         self._metrics_file.flush()
         self._trackers.log({k: v for k, v in rec.items() if k != "step"}, step)
+
+    def _fetch_metrics(self, metrics: Dict[str, Any]) -> Dict[str, float]:
+        """Pull the step's scalar metrics in ONE d2h transfer.  Per-scalar
+        float(v) costs a full relay round-trip each (~30-70 ms measured)
+        over the tunneled link — 6-8 scalars every logging window added
+        seconds per 250-step run.  A jitted stack makes it one fetch."""
+        keys = tuple(sorted(metrics))
+        if getattr(self, "_metrics_stack_keys", None) != keys:
+            self._metrics_stack_keys = keys
+            self._metrics_stack = jax.jit(
+                lambda m: jnp.stack(
+                    [jnp.asarray(m[k], jnp.float32) for k in keys]
+                )
+            )
+        vals = np.asarray(self._metrics_stack(metrics))
+        return {k: float(v) for k, v in zip(keys, vals)}
 
     # ------------------------------------------------------------------
     def _setup(self):
@@ -744,7 +760,7 @@ class Trainer:
 
             timing = timer.tick()
             if step % 10 == 0 or step == cfg.max_train_steps:
-                last_metrics = {k: float(v) for k, v in metrics.items()}
+                last_metrics = self._fetch_metrics(metrics)
                 last_metrics.update(timing)
                 # Per-window loop decomposition: where the non-device time
                 # goes (step dispatch vs waiting on the host pipeline vs
