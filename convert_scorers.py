@@ -40,6 +40,11 @@ def main():
     parser.add_argument("--yes-token-id", type=int, default=2163,
                         help="token id of 'Yes' in the T5 vocab (VQAScore "
                         "answer token)")
+    parser.add_argument("--vqa-config", type=str, default=None,
+                        help="JSON file with geometry overrides "
+                        '({"t5": {...}, "vision": {...}}) for non-xxl '
+                        "clip-flant5 variants; written into <out>/vqa/"
+                        "config.json for the scorer to reconstruct")
     parser.add_argument("--out", type=str, required=True)
     args = parser.parse_args()
     vqa_parts = args.vqa_t5 or args.vqa_vision or args.vqa_projector
@@ -86,7 +91,19 @@ def main():
 
         vqa_dir = os.path.join(args.out, "vqa")
         os.makedirs(vqa_dir, exist_ok=True)
-        model = CLIPT5Model()  # clip-flant5-xxl geometry defaults
+        geom = {}
+        if args.vqa_config:
+            geom = json.load(open(args.vqa_config))
+        if geom:
+            from textboost_tpu.eval.clip_scorer import CLIPVisionConfig
+            from textboost_tpu.eval.t5 import T5Config
+
+            model = CLIPT5Model(
+                T5Config(**geom.get("t5", {})) if "t5" in geom else None,
+                CLIPVisionConfig(**geom["vision"]) if "vision" in geom else None,
+            )
+        else:
+            model = CLIPT5Model()  # clip-flant5-xxl geometry defaults
         template = model.shape_template()
         for part, src, fn in (
             ("t5", args.vqa_t5, convert_t5),
@@ -102,7 +119,7 @@ def main():
         if args.vqa_tokenizer:
             shutil.copy(args.vqa_tokenizer, os.path.join(vqa_dir, "tokenizer.json"))
         with open(os.path.join(vqa_dir, "config.json"), "w") as f:
-            json.dump({"yes_token_id": args.yes_token_id}, f)
+            json.dump({"yes_token_id": args.yes_token_id, **geom}, f)
         print(f"wrote {os.path.join(vqa_dir, 'config.json')}")
 
 
