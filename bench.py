@@ -33,6 +33,10 @@ def _platform_override():
     start_device_warmup()
 
 
+# Children spawned by bench modes (e2e train subprocess) — killed by the
+# watchdog so an abort never orphans a relay-holding process.
+_CHILDREN = []
+
 TARGET_STEPS_PER_SEC = 250.0 / 120.0  # north-star pace
 
 
@@ -412,8 +416,20 @@ def bench_e2e(args):
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
     t0 = time.time()
-    proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                          timeout=3600)
+    # Popen (not run) so the watchdog can kill the child: os._exit from
+    # the abort timer would otherwise orphan a train process that keeps
+    # holding the TPU relay and the single CPU core.
+    proc = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+    _CHILDREN.append(proc)
+    try:
+        out, err = proc.communicate(timeout=3600)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        out, err = proc.communicate()
+    finally:
+        _CHILDREN.remove(proc)
+    proc.stdout, proc.stderr = out, err  # uniform access below
     wall = time.time() - t0
     ok = proc.returncode == 0 and os.path.isdir(out_dir)
     target = 120.0 * args.steps / 250.0
@@ -478,12 +494,19 @@ def main():
     # full hang (observed r3: even TPU client init blocked >10 min).  A
     # hang would leave the caller with NO output line at its own timeout;
     # emit the failure JSON and exit instead.  Tunable/disable via
-    # TEXTBOOST_BENCH_WATCHDOG_S (0 disables).
-    watchdog_s = int(os.environ.get("TEXTBOOST_BENCH_WATCHDOG_S", "2700"))
+    # TEXTBOOST_BENCH_WATCHDOG_S (0 disables).  e2e gets a longer default
+    # so the child's own 3600 s timeout stays reachable.
+    default_wd = "3900" if args.mode == "e2e" else "2700"
+    watchdog_s = int(os.environ.get("TEXTBOOST_BENCH_WATCHDOG_S", default_wd))
     if watchdog_s > 0:
         import threading
 
         def _abort():
+            for p in list(_CHILDREN):  # don't orphan the e2e train child
+                try:
+                    p.kill()
+                except Exception:
+                    pass
             print(json.dumps({
                 "metric": f"bench_{args.mode}_failed",
                 "value": 0.0,

@@ -48,7 +48,7 @@ def main():
     parser.add_argument("--out", type=str, required=True)
     args = parser.parse_args()
     vqa_parts = args.vqa_t5 or args.vqa_vision or args.vqa_projector
-    if not (args.clip or args.dino or vqa_parts):
+    if not (args.clip or args.dino or vqa_parts or args.vqa_tokenizer):
         parser.error("nothing to convert: pass --clip/--dino/--vqa-*")
 
     import jax

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from textboost_tpu.eval.t5 import T5Config, T5ForConditionalGeneration, TINY_T5
-from textboost_tpu.eval.vqa import CLIPT5Model, NativeVQAScorer
+from textboost_tpu.eval.vqa import CLIPT5Model, NativeVQAScorer, _tiny_vqa_config
 from textboost_tpu.eval.clip_scorer import CLIPVisionConfig
 from textboost_tpu.eval.scorer_weights import (
     convert_clip_vision,
@@ -23,10 +23,8 @@ from textboost_tpu.eval.scorer_weights import (
     convert_t5,
 )
 
-TINY_VIS = CLIPVisionConfig(
-    image_size=56, patch_size=14, hidden_size=48, intermediate_size=96,
-    num_hidden_layers=3, num_attention_heads=4,
-)
+# Shared tiny clip-flant5 geometry (the scorer's offline mode uses the same).
+_, TINY_VIS = _tiny_vqa_config()
 
 
 def _hf_t5(cfg: T5Config, seed: int, tie: bool = False):
@@ -311,8 +309,36 @@ def test_eval_cli_vqa_gating():
     (then the tiny native scorer engages)."""
     from textboost_tpu.eval.vqa import vqa_available
 
-    assert not vqa_available()  # t2v_metrics absent in this environment
+    if vqa_available():  # t2v_metrics installed: reference path wins
+        pytest.skip("t2v_metrics present — native gating path not reachable")
     s = NativeVQAScorer()  # random-scorer path constructs and scores
     assert 0.0 <= s.score(
         np.zeros((1, 32, 32, 3), np.uint8), ["x"]
     ) <= 1.0
+
+
+def test_question_truncation_keeps_eos(tmp_path):
+    """Real-tokenizer path: over-length questions truncate WITHOUT dropping
+    the terminal </s> (id 1), mirroring the offline path's reservation."""
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from tokenizers.processors import TemplateProcessing
+
+    vocab = {f"w{i}": i + 10 for i in range(50)}
+    vocab.update({"[UNK]": 9, "</s>": 1})
+    tok = Tokenizer(WordLevel(vocab, unk_token="[UNK]"))
+    tok.pre_tokenizer = Whitespace()
+    tok.post_processor = TemplateProcessing(
+        single="$A </s>", special_tokens=[("</s>", 1)]
+    )
+
+    s = NativeVQAScorer()
+    s._tokenizer = tok
+    long_prompt = " ".join(f"w{i % 50}" for i in range(200))
+    ids, mask = s._encode_questions([long_prompt], max_len=16)
+    assert mask[0].sum() == 16
+    assert ids[0, 15] == 1  # </s> survives truncation
+    short_ids, short_mask = s._encode_questions(["w1 w2"], max_len=16)
+    n = short_mask[0].sum()
+    assert short_ids[0, n - 1] == 1  # untruncated question also ends in </s>

@@ -89,7 +89,8 @@ def _tiny_vqa_config():
     from .clip_scorer import CLIPVisionConfig
     from .t5 import TINY_T5
 
-    return dataclasses.replace(TINY_T5, d_model=32), CLIPVisionConfig(
+    # The single source of tiny clip-flant5 geometry (tests import this).
+    return TINY_T5, CLIPVisionConfig(
         image_size=56, patch_size=14, hidden_size=48, intermediate_size=96,
         num_hidden_layers=3, num_attention_heads=4,
     )
@@ -291,8 +292,13 @@ class NativeVQAScorer:
         ]
         ids = np.zeros((len(prompts), max_len), np.int32)
         mask = np.zeros((len(prompts), max_len), np.int32)
+        eos = 1  # T5 </s>
         for i, e in enumerate(encs):
-            toks = e.ids[:max_len]
+            toks = list(e.ids)
+            if len(toks) > max_len:
+                # Truncation must not drop </s> — keep the final EOS so
+                # the encoder still sees a terminated question.
+                toks = toks[: max_len - 1] + [eos]
             ids[i, : len(toks)] = toks
             mask[i, : len(toks)] = 1
         return ids, mask

@@ -213,9 +213,10 @@ class TextToImagePipeline:
         return images
 
     # ------------------------------------------------------------------
-    def compute_null_embedding(self) -> np.ndarray:
-        """Frozen-encoder output of the empty prompt — regenerates the
-        reference's cached asset (assets/null_emb_*.pt) natively."""
-        ids = jnp.asarray(self.encode_prompts([""]))
+    def compute_null_embedding(self, prompt: str = "") -> np.ndarray:
+        """Frozen-encoder output of `prompt` (default empty = the null
+        embedding) — regenerates the reference's cached assets
+        (assets/null_emb_*.pt / start_emb_*.pt) natively."""
+        ids = jnp.asarray(self.encode_prompts([prompt]))
         hidden, _ = jax.jit(self.text_encoder.apply)(self.te_params, ids)
         return np.asarray(hidden[0], dtype=np.float32)

@@ -33,24 +33,21 @@ def main():
                         "embedding; the BOS row doubles as start_emb)")
     args = parser.parse_args()
 
-    from textboost_tpu.utils.platform import configure_compilation_cache
+    from textboost_tpu.utils.platform import apply_platform_override
 
-    configure_compilation_cache()
-    import jax
+    apply_platform_override()
     import jax.numpy as jnp
-    import numpy as np
 
-    if os.environ.get("TEXTBOOST_PLATFORM") == "cpu":
-        jax.config.update("jax_platforms", "cpu")
-
-    from textboost_tpu.data.tokenizer import load_tokenizer, tokenize_prompt
+    from textboost_tpu.data.tokenizer import load_tokenizer
     from textboost_tpu.models.pretrained import load_models
+    from textboost_tpu.pipelines import TextToImagePipeline
 
     bundle = load_models(args.model, dtype=jnp.float32)
-    tokenizer = load_tokenizer(None)
-    ids = jnp.asarray(tokenize_prompt(tokenizer, [args.prompt]))
-    hidden, _ = jax.jit(bundle.text_encoder.apply)(bundle.te_params, ids)
-    arr = np.asarray(hidden[0], np.float32)
+    pipe = TextToImagePipeline(
+        bundle.spec, load_tokenizer(None), bundle.te_params,
+        bundle.unet_params, bundle.vae_params, dtype=jnp.float32,
+    )
+    arr = pipe.compute_null_embedding(args.prompt)
 
     import torch
 
