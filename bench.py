@@ -352,7 +352,6 @@ def _phase_budget(out_dir: str):
         pass
     metrics_path = os.path.join(out_dir, "metrics.jsonl")
     try:
-        steps, total_ms = 0, 0.0
         last = {}
         for line in open(metrics_path):
             rec = json.loads(line)

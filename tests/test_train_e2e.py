@@ -330,3 +330,16 @@ def test_multi_concept_training(instance_dir, tmp_path):
     assert np.isfinite(result["loss"])
     assert os.path.isfile(os.path.join(out, "<dog>.bin"))
     assert os.path.isfile(os.path.join(out, "<cat>.bin"))
+
+
+def test_restore_rejects_legacy_checkpoint_clearly(tmp_path):
+    """A pre-compact-v2 checkpoint (no meta.json) must fail with a clear
+    message, not an opaque orbax structure error."""
+    import pytest
+
+    from textboost_tpu.train.checkpoint import restore_checkpoint
+
+    d = tmp_path / "checkpoint-10" / "state"
+    d.mkdir(parents=True)
+    with pytest.raises(ValueError, match="meta.json"):
+        restore_checkpoint(str(tmp_path / "checkpoint-10"), None, 100)

@@ -58,7 +58,6 @@ def build_step_config(cfg, spec, first_added_id: int):
         kpl_type=cfg.kpl_type,
         with_image_prior=cfg.with_image_prior,
         image_ppl_weight=cfg.image_ppl_weight,
-        max_grad_norm=cfg.max_grad_norm,
         first_added_token_id=first_added_id,
         # Travels as a traced scalar in `frozen`; 0.0 here keeps the
         # config (and so the program hash) instance-independent.

@@ -136,6 +136,27 @@ def snapshot_compact(state, first_added_id: int):
     return _snapshot_fn(int(first_added_id))(_state_dict(state))
 
 
+def _validate_trainable_coverage(te_params):
+    """Every leaf the optimizer can update MUST be persisted (slice/keep)
+    — 'drop' is only legal for frozen leaves.  The keep/drop decision in
+    _leaf_class is a name/size heuristic; cross-checking it against the
+    optimizer's own labels (lora/partition.py) turns a future mismatch
+    (e.g. a new trainable leaf whose path lacks 'lora_') into a loud
+    error at save time instead of silent state corruption at resume."""
+    from ..lora.partition import FROZEN_LABEL, param_labels
+
+    labels = param_labels(te_params)
+    flat_params = jax.tree_util.tree_leaves_with_path(te_params)
+    flat_labels = jax.tree.leaves(labels)
+    for (path, leaf), label in zip(flat_params, flat_labels):
+        if label != FROZEN_LABEL and _leaf_class(path, leaf) == "drop":
+            raise ValueError(
+                f"trainable leaf {_path_str(path)} (label={label}) would "
+                "be DROPPED from the compact checkpoint — extend "
+                "checkpoint._leaf_class to persist it"
+            )
+
+
 class _RowView:
     """Sparse stand-in for the full embedding matrix: supports only
     `view[token_id]` for ids >= first_added_id (export path)."""
@@ -235,6 +256,7 @@ def save_checkpoint(
         prune_checkpoints(output_dir, total_limit)
         os.makedirs(ckpt_dir, exist_ok=True)
 
+    _validate_trainable_coverage(state.te_params)
     payload_dev = snapshot_compact(state, first_added_id)
     if not is_writer:
         return ckpt_dir, None
@@ -288,14 +310,23 @@ def restore_checkpoint(path: str, state_template, first_added_id: int) -> Any:
         if ckpt_dir is None:
             raise FileNotFoundError(f"No checkpoint-* under {path}")
     meta_path = os.path.join(ckpt_dir, "meta.json")
-    if os.path.isfile(meta_path):
-        meta = json.load(open(meta_path))
-        if meta.get("first_added_id") != int(first_added_id):
-            raise ValueError(
-                f"checkpoint {ckpt_dir} was saved with first_added_id="
-                f"{meta.get('first_added_id')}, current run has "
-                f"{first_added_id} — token configuration changed?"
-            )
+    if not os.path.isfile(meta_path):
+        # Pre-compact (full-state) checkpoints have no meta.json; their
+        # on-disk shapes don't match the compact template and orbax would
+        # fail with an opaque structure error — refuse clearly instead.
+        raise ValueError(
+            f"{ckpt_dir} has no meta.json — it predates the compact-v2 "
+            "checkpoint format and cannot be restored by this version; "
+            "re-run training or export its adapters via the PEFT/token-bin "
+            "files it contains"
+        )
+    meta = json.load(open(meta_path))
+    if meta.get("first_added_id") != int(first_added_id):
+        raise ValueError(
+            f"checkpoint {ckpt_dir} was saved with first_added_id="
+            f"{meta.get('first_added_id')}, current run has "
+            f"{first_added_id} — token configuration changed?"
+        )
 
     template = _state_dict(state_template)
 

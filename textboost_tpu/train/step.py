@@ -45,7 +45,9 @@ class StepConfig:
     kpl_type: str = "cos"  # "cos" | "mse"
     with_image_prior: bool = False
     image_ppl_weight: float = 1.0
-    max_grad_norm: float = 1.0
+    # NOTE: grad clipping lives in the optimizer chain
+    # (lora/partition.py::make_optimizer max_grad_norm), not here — it must
+    # apply once to the ACCUMULATED grads (train_textboost.py:1128-1133).
     first_added_token_id: int = 49408
     embedding_target_norm: float = 0.0  # mean pre-training norm
     mixing: bool = False

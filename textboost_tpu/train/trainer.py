@@ -814,6 +814,12 @@ class Trainer:
         so periodic checkpoints cost the train loop ~nothing even over the
         slow d2h tunnel (VERDICT r2 weak #2).  Threads are joined at the
         end of train()."""
+        # Depth-1 writer pipeline: join any previous writer BEFORE pruning
+        # and starting a new one.  Without this, (a) a tight cadence or a
+        # degraded tunnel piles up unbounded writer threads each pinning a
+        # device payload, and (b) prune_checkpoints can rmtree a directory
+        # the still-running previous writer is mid-write in.
+        self.join_checkpoint_writers()
         path, thread = save_checkpoint(
             self.config.output_dir,
             step,

@@ -81,14 +81,25 @@ def bench_shape(b, n, h, d, block_qs, block_ks, with_bwd=True):
     for bq in block_qs:
         for bk in block_ks:
             tag = f"flash bq{bq} bk{bk}"
-            impl = functools.partial(
+            # fwd cells vary the forward blocks; fwd+bwd cells vary the
+            # BACKWARD blocks (forward stays at its tuned defaults) —
+            # otherwise the grid silently re-measures the default bwd
+            # blocks in every cell and the "best" bwd choice is noise.
+            fwd_impl = functools.partial(
                 flash_attention, k=q, v=q, scale=scale, block_q=bq, block_k=bk
             )
-            wrapped = lambda x: impl(x)
+            bwd_impl = functools.partial(
+                flash_attention, k=q, v=q, scale=scale,
+                bwd_block_q=bq, bwd_block_k=bk,
+            )
             try:
-                results[tag + " fwd"] = chain_time(fwd_only(wrapped), q)
+                results[tag + " fwd"] = chain_time(
+                    fwd_only(lambda x: fwd_impl(x)), q
+                )
                 if with_bwd:
-                    results[tag + " fwd+bwd"] = chain_time(fwd_bwd(wrapped), q)
+                    results[f"flash bwd-bq{bq} bwd-bk{bk} fwd+bwd"] = chain_time(
+                        fwd_bwd(lambda x: bwd_impl(x)), q
+                    )
             except Exception as e:  # noqa: BLE001
                 results[tag] = f"ERR {repr(e)[:80]}"
     return results
