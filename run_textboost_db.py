@@ -57,6 +57,12 @@ RESOLUTION = {"sd14": 512, "sd15": 512, "sd21base": 512, "sd21": 768, "tiny": 12
 
 def parse_args():
     parser = argparse.ArgumentParser(description="Run TextBoost experiment")
+    # Reference-CLI compatibility: -g/--gpu selected CUDA devices for
+    # torchrun (run_textboost_db.py:43); device selection here is the
+    # JAX mesh (--mesh-tp / all local chips), so the flag is accepted
+    # and ignored for drop-in command-line parity.
+    parser.add_argument("-g", "--gpu", type=str, default=None,
+                        help="ignored (reference compatibility)")
     parser.add_argument("-n", "--num-samples", type=int, default=1)
     parser.add_argument("-m", "--model", type=str, default="sd21base")
     parser.add_argument("--instances", type=str, nargs="+", default=None)

@@ -36,6 +36,10 @@ INSTANCES = [
 
 def parse_args():
     parser = argparse.ArgumentParser(description="Run TextBoost style experiment")
+    # -g/--gpu accepted and ignored (reference torchrun device
+    # selection; JAX mesh here) — drop-in command-line parity.
+    parser.add_argument("-g", "--gpu", type=str, default=None,
+                        help="ignored (reference compatibility)")
     parser.add_argument("-m", "--model", type=str, default="sd21")
     parser.add_argument("--instances", type=str, nargs="+", default=None)
     parser.add_argument("--augment", type=str, default="pda")
