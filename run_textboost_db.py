@@ -84,6 +84,11 @@ def parse_args():
     parser.add_argument("--mesh-tp", type=int, default=1)
     parser.add_argument("--sequential", action="store_true",
                         help="run in-process instead of one subprocess per instance")
+    parser.add_argument("--parallel", type=int, default=1,
+                        help="run N instances concurrently, each subprocess "
+                        "pinned to a disjoint single TPU chip (a v5e-8 host "
+                        "clears the 30-instance sweep in 4 waves of 8 "
+                        "one-chip jobs instead of 30 sequential runs)")
     parser.add_argument("--dry-run", action="store_true")
     return parser.parse_args()
 
@@ -150,6 +155,30 @@ def main(args):
     os.makedirs(outdir, exist_ok=True)
 
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)), "train_textboost.py")
+
+    def archive(name, cmd):
+        # Archive the command + training-script snapshot (:164-168).
+        run_dir = os.path.join(outdir, name)
+        os.makedirs(run_dir, exist_ok=True)
+        with open(os.path.join(run_dir, "cmd.txt"), "w") as f:
+            f.write("\n".join(["train_textboost.py"] + cmd))
+        shutil.copy(script, os.path.join(run_dir, "train_textboost.py"))
+
+    if getattr(args, "parallel", 1) > 1 and not args.sequential:
+        # Instance-parallel waves: N concurrent one-chip subprocesses —
+        # the TPU-native transpose of the reference's one-torchrun-at-a-
+        # time launch model (utils/sweep.py for the rationale).
+        from textboost_tpu.utils.sweep import launch_waves
+
+        jobs = [
+            (name, build_cmd(args, name, cls, init_token, outdir))
+            for name, cls, init_token in instances
+        ]
+        launch_waves(
+            jobs, args.parallel, script, outdir, archive, dry_run=args.dry_run
+        )
+        return
+
     for name, cls, init_token in instances:
         cmd = build_cmd(args, name, cls, init_token, outdir)
         print(f"=== {name}: train_textboost.py {' '.join(cmd)}")
@@ -163,12 +192,7 @@ def main(args):
         else:
             subprocess.run([sys.executable, script] + cmd, check=False)
 
-        # Archive the command + training-script snapshot (:164-168).
-        run_dir = os.path.join(outdir, name)
-        os.makedirs(run_dir, exist_ok=True)
-        with open(os.path.join(run_dir, "cmd.txt"), "w") as f:
-            f.write("\n".join(["train_textboost.py"] + cmd))
-        shutil.copy(script, os.path.join(run_dir, "train_textboost.py"))
+        archive(name, cmd)
 
 
 if __name__ == "__main__":

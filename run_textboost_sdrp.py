@@ -50,6 +50,10 @@ def parse_args():
     parser.add_argument("--no-inversion", action="store_true", default=False)
     parser.add_argument("--desc", type=str, default=None)
     parser.add_argument("--data-dir", type=str, default="./datasets/styledrop")
+    parser.add_argument("--parallel", type=int, default=1,
+                        help="run N instances concurrently, each subprocess "
+                        "pinned to a disjoint single TPU chip (waves; see "
+                        "textboost_tpu/utils/sweep.py)")
     parser.add_argument("--dry-run", action="store_true")
     return parser.parse_args()
 
@@ -65,50 +69,73 @@ def main(args):
         outdir += f"-{args.desc}"
     os.makedirs(outdir, exist_ok=True)
     model = args.model.lower().replace("-", "").replace(".", "")
+    run_jobs(args, instances, outdir, model)
 
-    script = os.path.join(os.path.dirname(os.path.abspath(__file__)), "train_textboost.py")
-    for name, template, init_token in instances:
-        cmd = [
-            f"--model_preset={model}",
-            f"--instance_data_dir={os.path.join(args.data_dir, name)}",
-            f"--output_dir=./{outdir}/{name}",
-            "--instance_token=<0>",
-            "--validation_prompts",
-            "A man in <0>",
-            "A cat in <0>",
-            "Flowers in <0>",
-            "A dog in <0>",
-            "--validation_steps=25",
-            "--placeholder_token", f"<{name}>",
-            "--initializer_token", init_token,
-            f"--lora_rank={args.lora_rank}",
-            "--learning_rate=1e-4",
-            "--emb_learning_rate=1e-3",
-            "--train_batch_size=4",
-            "--max_train_steps=150",
-            "--checkpointing_steps=25",
-            "--gradient_accumulation_steps=1",
-            f"--augment={args.augment}",
-            f"--kpl_weight={args.kpl_weight}",
-            f"--null_prob={args.null_prob}",
-            "--template", template,
-            "--augment_ops=style",
-            "--mixing",
-            "--mixed_precision=bf16",
-        ]
-        if not args.no_inversion:
-            cmd.append("--augment_inversion")
-        if args.no_weighted_sample:
-            cmd.append("--disable_weighted_sample")
-        print(f"=== {name}: train_textboost.py {' '.join(cmd)}")
-        if args.dry_run:
-            continue
-        subprocess.run([sys.executable, script] + cmd, check=False)
 
+def build_cmd(args, name, template, init_token, outdir, model):
+    cmd = [
+        f"--model_preset={model}",
+        f"--instance_data_dir={os.path.join(args.data_dir, name)}",
+        f"--output_dir=./{outdir}/{name}",
+        "--instance_token=<0>",
+        "--validation_prompts",
+        "A man in <0>",
+        "A cat in <0>",
+        "Flowers in <0>",
+        "A dog in <0>",
+        "--validation_steps=25",
+        "--placeholder_token", f"<{name}>",
+        "--initializer_token", init_token,
+        f"--lora_rank={args.lora_rank}",
+        "--learning_rate=1e-4",
+        "--emb_learning_rate=1e-3",
+        "--train_batch_size=4",
+        "--max_train_steps=150",
+        "--checkpointing_steps=25",
+        "--gradient_accumulation_steps=1",
+        f"--augment={args.augment}",
+        f"--kpl_weight={args.kpl_weight}",
+        f"--null_prob={args.null_prob}",
+        "--template", template,
+        "--augment_ops=style",
+        "--mixing",
+        "--mixed_precision=bf16",
+    ]
+    if not args.no_inversion:
+        cmd.append("--augment_inversion")
+    if args.no_weighted_sample:
+        cmd.append("--disable_weighted_sample")
+    return cmd
+
+
+def run_jobs(args, instances, outdir, model):
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "train_textboost.py"
+    )
+
+    def archive(name, cmd):
         run_dir = os.path.join(outdir, name)
         os.makedirs(run_dir, exist_ok=True)
         with open(os.path.join(run_dir, "cmd.txt"), "w") as f:
             f.write("\n".join(["train_textboost.py"] + cmd))
+
+    jobs = [
+        (name, build_cmd(args, name, template, init_token, outdir, model))
+        for name, template, init_token in instances
+    ]
+    if getattr(args, "parallel", 1) > 1:
+        from textboost_tpu.utils.sweep import launch_waves
+
+        launch_waves(
+            jobs, args.parallel, script, outdir, archive, dry_run=args.dry_run
+        )
+        return
+    for name, cmd in jobs:
+        print(f"=== {name}: train_textboost.py {' '.join(cmd)}")
+        if args.dry_run:
+            continue
+        subprocess.run([sys.executable, script] + cmd, check=False)
+        archive(name, cmd)
 
 
 if __name__ == "__main__":

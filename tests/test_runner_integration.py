@@ -36,6 +36,7 @@ def _db_args(**over):
         data_dir="datasets/dreambooth_n1_train",
         mesh_tp=1,
         sequential=True,
+        parallel=1,
         dry_run=False,
     )
     base.update(over)
@@ -126,3 +127,79 @@ def test_runner_train_validate_eval_end_to_end(sweep_cwd):
     outdir = eval_dreambooth.generate(gen_args)
     pngs = os.listdir(os.path.join(outdir, "seed0", "dog"))
     assert len(pngs) == 25
+
+
+def test_parallel_wave_scheduling(sweep_cwd, monkeypatch):
+    """--parallel N: waves of N one-chip subprocesses with disjoint chip
+    pins, per-run stdout logs, and the reference's archival artifacts."""
+    import run_textboost_db as runner
+    from textboost_tpu.utils import sweep as sweep_mod
+
+    launched = []
+
+    class FakeProc:
+        def __init__(self, argv, env):
+            self.argv, self.env = argv, env
+
+        def wait(self):
+            return 0
+
+    def fake_popen(argv, stdout=None, stderr=None, env=None):
+        launched.append({"argv": argv, "env": env})
+        return FakeProc(argv, env)
+
+    monkeypatch.setattr(sweep_mod.subprocess, "Popen", fake_popen)
+    runner.main(
+        _db_args(
+            sequential=False,
+            parallel=2,
+            instances=["dog", "cat", "vase"],  # 2 waves: [cat, dog], [vase]
+        )
+    )
+
+    assert len(launched) == 3
+    # Wave slots pin disjoint chips; the wave restarts at chip 0.
+    pins = [j["env"]["TPU_VISIBLE_DEVICES"] for j in launched]
+    assert pins == ["0", "1", "0"]
+    assert all(
+        j["env"]["TPU_CHIPS_PER_PROCESS_BOUNDS"] == "1,1,1" for j in launched
+    )
+    ports = [j["env"]["TPU_MESH_CONTROLLER_PORT"] for j in launched]
+    assert ports == ["8476", "8477", "8476"]
+
+    for name in ("cat", "dog", "vase"):
+        run_dir = sweep_cwd / "output" / "tb-tiny-n1" / name
+        assert (run_dir / "cmd.txt").is_file()
+        assert (run_dir / "train_textboost.py").is_file()
+        assert (run_dir / "train_stdout.log").is_file()
+
+
+def test_parallel_real_two_instances(sweep_cwd, monkeypatch):
+    """Two REAL concurrent one-device training subprocesses (the --parallel
+    TPU sweep model, each child on a single virtual CPU device)."""
+    import run_textboost_db as runner
+
+    inst2 = sweep_cwd / "datasets" / "dreambooth_n1_train" / "cat"
+    inst2.mkdir(parents=True)
+    rng = np.random.RandomState(5)
+    Image.fromarray(rng.randint(0, 255, (160, 160, 3), dtype=np.uint8)).save(
+        inst2 / "cat.jpg"
+    )
+    # Children: CPU platform (the axon plugin ignores JAX_PLATFORMS), ONE
+    # device each — exactly the one-chip-per-instance sweep geometry.
+    monkeypatch.setenv("TEXTBOOST_PLATFORM", "cpu")
+    monkeypatch.setenv("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+
+    runner.main(
+        _db_args(sequential=False, parallel=2, instances=["dog", "cat"],
+                 total_steps=2)
+    )
+
+    for name in ("dog", "cat"):
+        run_dir = sweep_cwd / "output" / "tb-tiny-n1" / name
+        stdout_log = (run_dir / "train_stdout.log").read_text()
+        assert "Training took" in (run_dir / "training.log").read_text(), (
+            stdout_log[-2000:]
+        )
+        bins = [f for f in os.listdir(run_dir) if f.endswith(".bin")]
+        assert any(f.startswith(f"<{name}") for f in bins), bins

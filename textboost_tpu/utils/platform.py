@@ -46,6 +46,35 @@ def start_device_warmup():
     threading.Thread(target=_warm, daemon=True, name="device-warmup").start()
 
 
+def single_chip_env(chip: int) -> dict:
+    """Child-process environment pinning an independent JAX job to ONE chip.
+
+    TPU-native sweep scaling is the transpose of the reference's launch
+    model: instead of one job at a time spanning every accelerator
+    (torchrun, run_textboost_db.py:106-162), run N one-chip jobs
+    concurrently — a one-shot TextBoost instance fits a single v5e chip
+    with HBM headroom (bs8/512px, no remat), per-job collectives
+    disappear, and sweep throughput scales linearly in chips.
+
+    Uses the standard libtpu host-splitting recipe: restrict the process
+    topology to 1x1x1 and expose only `chip`.  Inert on CPU/GPU platforms
+    (plain env vars no libtpu reads) and on relay-tunneled single-chip
+    backends.
+    """
+    env = dict(os.environ)
+    env.update(
+        {
+            "TPU_CHIPS_PER_PROCESS_BOUNDS": "1,1,1",
+            "TPU_PROCESS_BOUNDS": "1,1,1",
+            "TPU_VISIBLE_DEVICES": str(chip),
+            # Independent jobs must not contend for one coordination port.
+            "TPU_MESH_CONTROLLER_ADDRESS": f"localhost:{8476 + chip}",
+            "TPU_MESH_CONTROLLER_PORT": str(8476 + chip),
+        }
+    )
+    return env
+
+
 def configure_compilation_cache():
     """Point the persistent compilation cache at JAX_COMPILATION_CACHE_DIR
     (default /tmp/jax_comp_cache) via the config knob.
