@@ -222,6 +222,80 @@ def test_train_unet_crossattn_kv(instance_dir, tmp_path):
     assert os.path.isfile(os.path.join(out, "checkpoint-2", "<dog>.bin"))
 
 
+def test_resume_unet_crossattn_kv(instance_dir, tmp_path):
+    """Resume with the {"te", "unet_lora"} trainable tree: the unet_lora
+    subtree is a flat dict with TUPLE keys, which must survive the orbax
+    save → abstract-tree restore round trip bit-exactly (no test covered
+    this tree shape before)."""
+    import jax
+
+    from textboost_tpu.train import Trainer
+
+    out = str(tmp_path / "unet_resume_run")
+    t1 = Trainer(
+        _config(
+            instance_dir,
+            out,
+            max_train_steps=2,
+            checkpointing_steps=2,
+            unet_params_to_train="crossattn_kv",
+        )
+    )
+    t1.train()
+
+    t2 = Trainer(
+        _config(
+            instance_dir,
+            out,
+            max_train_steps=4,
+            checkpointing_steps=2,
+            unet_params_to_train="crossattn_kv",
+            resume_from_checkpoint="latest",
+        )
+    )
+    assert t2.start_step == 2
+    # Bit-exact restore of BOTH subtrees (te + tuple-keyed unet_lora).
+    for (p, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(t1.state.te_params),
+        jax.tree.leaves(t2.state.te_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(p))
+    for a, b in zip(
+        jax.tree.leaves(t1.state.opt_state), jax.tree.leaves(t2.state.opt_state)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    result = t2.train()
+    assert result["steps"] == 4 and np.isfinite(result["loss"])
+    # The resumed run keeps training the UNet adapter.
+    lora = t2.state.te_params["unet_lora"]
+    assert any(
+        float(np.abs(np.asarray(v)).max()) > 0
+        for k, v in lora.items()
+        if k[-1] == "lora_a"
+    )
+
+
+def test_checkpoint_writer_failure_propagates(instance_dir, tmp_path, monkeypatch):
+    """An async writer-thread crash must fail the run at the next join, not
+    vanish into stderr (a half-written checkpoint would otherwise be
+    discovered at resume time)."""
+    from textboost_tpu.train import Trainer, checkpoint
+
+    out = str(tmp_path / "writer_fail_run")
+    trainer = Trainer(
+        _config(instance_dir, out, max_train_steps=2, checkpointing_steps=2)
+    )
+
+    def boom(*a, **k):
+        raise OSError("disk full (injected)")
+
+    monkeypatch.setattr(checkpoint, "_write_checkpoint", boom)
+    with pytest.raises(RuntimeError, match="checkpoint writer"):
+        trainer.train()
+    trainer.train_loader.stop()
+    trainer.prior_loader.stop()
+
+
 def test_unsupported_unet_params_raise(instance_dir, tmp_path):
     from textboost_tpu.train import Trainer
 

@@ -269,13 +269,19 @@ def save_checkpoint(
     if blocking:
         _write_checkpoint(ckpt_dir, payload_dev, **kwargs)
         return ckpt_dir, None
+    def _run():
+        # Daemon-thread exceptions are otherwise only printed to stderr —
+        # stash them so join_checkpoint_writers can re-raise (a failed save
+        # must fail the run, like the reference's synchronous save would).
+        try:
+            _write_checkpoint(ckpt_dir, payload_dev, **kwargs)
+        except BaseException as e:  # noqa: BLE001 — re-raised at join
+            thread.exception = e
+
     thread = threading.Thread(
-        target=_write_checkpoint,
-        args=(ckpt_dir, payload_dev),
-        kwargs=kwargs,
-        daemon=True,
-        name=f"ckpt-writer-{step}",
+        target=_run, daemon=True, name=f"ckpt-writer-{step}"
     )
+    thread.exception = None
     thread.start()
     return ckpt_dir, thread
 

@@ -837,14 +837,19 @@ class Trainer:
         return path
 
     def join_checkpoint_writers(self, timeout: float = 600.0):
-        for t in self._ckpt_threads:
+        threads, self._ckpt_threads = self._ckpt_threads, []
+        for t in threads:
             t.join(timeout)
             if t.is_alive():
                 logger.warning(
                     "checkpoint writer %s did not finish within %.0fs — "
                     "its checkpoint dir may be incomplete", t.name, timeout
                 )
-        self._ckpt_threads = []
+            exc = getattr(t, "exception", None)
+            if exc is not None:
+                # A failed async save must fail the run (the reference's
+                # synchronous save_state would have crashed in-loop).
+                raise RuntimeError(f"checkpoint writer {t.name} failed") from exc
 
     def save_final(self):
         """Final layout (train_textboost.py:1234-1266): text_encoder/ PEFT
