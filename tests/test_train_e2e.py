@@ -292,8 +292,9 @@ def test_checkpoint_writer_failure_propagates(instance_dir, tmp_path, monkeypatc
     monkeypatch.setattr(checkpoint, "_write_checkpoint", boom)
     with pytest.raises(RuntimeError, match="checkpoint writer"):
         trainer.train()
-    trainer.train_loader.stop()
-    trainer.prior_loader.stop()
+    # train() stops the loaders on the failure path too (try/finally).
+    assert trainer.train_loader._stop.is_set()
+    assert trainer.prior_loader._stop.is_set()
 
 
 def test_unsupported_unet_params_raise(instance_dir, tmp_path):

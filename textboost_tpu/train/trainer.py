@@ -669,6 +669,17 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train(self) -> Dict[str, float]:
+        try:
+            return self._train()
+        finally:
+            # Stop prefetch threads / forkserver workers on EVERY exit path —
+            # a raised checkpoint-writer failure or a mid-loop crash must not
+            # leave worker processes running when the Trainer is used as a
+            # library (stop() is idempotent).
+            self.train_loader.stop()
+            self.prior_loader.stop()
+
+    def _train(self) -> Dict[str, float]:
         cfg = self.config
         train_iter = iter(self.train_loader)
         prior_iter = iter(self.prior_loader)
@@ -799,8 +810,6 @@ class Trainer:
         self.join_checkpoint_writers()
         if jax.process_index() == 0:
             self.save_final()
-        self.train_loader.stop()
-        self.prior_loader.stop()
         self._trackers.finish()
         return {"wall_time_s": wall, "steps": step, **last_metrics}
 
