@@ -233,8 +233,27 @@ def bench_parts(args):
     lat = res // 8
 
     N = 32
+    # v5e chip peak: 197 TFLOP/s bf16 (394 TOPS int8).  MFU below is
+    # XLA-counted FLOPs (compiled cost analysis — matmul/conv FLOPs as
+    # lowered, i.e. INCLUDING any lane-padding the compiler baked in) over
+    # this peak; "useful-FLOP" MFU on d=40 heads is ~3x lower by
+    # construction (head dim pads 40->128, see PARITY.md).
+    PEAK_TFLOPS = float(os.environ.get("TEXTBOOST_PEAK_TFLOPS", "197"))
 
-    def timeit_scan(body, x0, params):
+    def _cost_flops(compiled) -> float:
+        """XLA-estimated FLOPs of a compiled program (0.0 if the backend
+        doesn't expose cost analysis)."""
+        try:
+            cost = compiled.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            return float(cost.get("flops", 0.0))
+        except Exception:
+            return 0.0
+
+    flops_of = {}
+
+    def timeit_scan(name, body, x0, params):
         """Time one component via an in-jit lax.scan whose carry depends on
         every iteration's output.  Two axon-relay hazards: (a) the relay
         ACKs block_until_ready BEFORE real execution even for a single
@@ -246,6 +265,8 @@ def bench_parts(args):
 
         fn = jax.jit(lambda c, p: jax.lax.scan(
             lambda cc, _: (body(cc, p), None), c, None, length=N)[0])
+        compiled = fn.lower(x0, params).compile()
+        flops_of[name] = _cost_flops(compiled) / N  # per iteration
         np.asarray(fn(x0, params))  # warmup (compile + execute, fetched)
         if jnp.issubdtype(x0.dtype, jnp.floating):
             x1 = x0 * (1.0 + 1e-3)
@@ -255,6 +276,21 @@ def bench_parts(args):
         t0 = time.time()
         np.asarray(fn(x1, params))  # d2h fetch = true completion barrier
         return (time.time() - t0) / N * 1000.0
+
+    def mfu_fields(results):
+        """Per-component achieved TFLOP/s + %-of-peak from the XLA FLOP
+        counts (VERDICT r3 item 8: the structural-plateau claim as an
+        auditable artifact, not prose)."""
+        out = {}
+        for name, ms in list(results.items()):
+            comp = name[: -len("_ms")]
+            fl = flops_of.get(comp, 0.0)
+            if fl <= 0 or ms <= 0:
+                continue
+            tflops = fl / (ms / 1e3) / 1e12
+            out[f"{comp}_tflops"] = round(tflops, 1)
+            out[f"{comp}_mfu_pct"] = round(100.0 * tflops / PEAK_TFLOPS, 1)
+        return out
 
     results = {}
     rng = jax.random.PRNGKey(0)
@@ -267,7 +303,7 @@ def bench_parts(args):
         )
         return c + s.astype(c.dtype) * 1e-3
 
-    results["vae_encode_ms"] = timeit_scan(vae_body, px, bundle.vae_params)
+    results["vae_encode_ms"] = timeit_scan("vae_encode", vae_body, px, bundle.vae_params)
 
     te = CLIPTextModel(spec.text_encoder, lora_rank=args.lora_rank,
                        dtype=jnp.bfloat16)
@@ -281,7 +317,7 @@ def bench_parts(args):
             0, 49407,
         )
 
-    results["text_encode_ms"] = timeit_scan(te_body, ids, bundle.te_params)
+    results["text_encode_ms"] = timeit_scan("text_encode", te_body, ids, bundle.te_params)
 
     tsteps = jnp.full((b,), 500, jnp.int32)
     hidden = jax.random.normal(rng, (b, 77, spec.unet.cross_attention_dim),
@@ -291,7 +327,7 @@ def bench_parts(args):
     def unet_body(c, p):
         return bundle.unet.apply(p, c, tsteps, hidden).astype(jnp.float32)
 
-    results["unet_fwd_ms"] = timeit_scan(unet_body, noisy, bundle.unet_params)
+    results["unet_fwd_ms"] = timeit_scan("unet_fwd", unet_body, noisy, bundle.unet_params)
 
     def loss_h(h, p):
         return jnp.square(
@@ -303,7 +339,7 @@ def bench_parts(args):
         return c + g.astype(c.dtype) * 1e-3
 
     results["unet_fwd_bwd_to_hidden_ms"] = timeit_scan(
-        unet_bwd_body, hidden, bundle.unet_params
+        "unet_fwd_bwd_to_hidden", unet_bwd_body, hidden, bundle.unet_params
     )
 
     jit_step, state, batch, frozen = build_train_bench(
@@ -316,6 +352,12 @@ def bench_parts(args):
         state, m = jit_step(state, batch, frozen)
     float(m["loss"])
     results["full_step_ms"] = (time.time() - t0) / 10 * 1000.0
+    try:
+        flops_of["full_step"] = _cost_flops(
+            jit_step.lower(state, batch, frozen).compile()
+        )
+    except Exception:
+        pass
 
     return {
         "metric": f"train_step_parts_ms ({args.preset}, bs={b}, {res}px)",
@@ -324,7 +366,11 @@ def bench_parts(args):
         "vs_baseline": round(
             (250.0 / 120.0) / (1000.0 / results["full_step_ms"]), 4
         ),
-        "extra": {k: round(v, 1) for k, v in results.items()},
+        "extra": {
+            **{k: round(v, 1) for k, v in results.items()},
+            **mfu_fields(results),
+            "peak_tflops_bf16": PEAK_TFLOPS,
+        },
     }
 
 
@@ -412,6 +458,20 @@ def bench_e2e(args):
         # full fp32 — ~2x the device time and no flash attention.
         "--mixed_precision", "bf16",
     ]
+    if args.validation:
+        # The sweep ALWAYS pays for in-training validation
+        # (run_textboost_db.py:107-114: 4 prompts x num_validation_images
+        # every total//5 steps) — the honest e2e includes it (VERDICT r3
+        # weak #1).  --no-validation measures the bare loop for matched
+        # pairs.
+        cmd += [
+            "--validation_steps", str(max(args.steps // 5, 1)),
+            "--validation_prompts",
+            "photo of a <0>",
+            "a <0> in the jungle",
+            "a <0> in the bucket",
+            "painting of a <0> in the Monet style",
+        ]
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
     t0 = time.time()
@@ -435,6 +495,9 @@ def bench_e2e(args):
     n_ckpts = len(
         [d for d in os.listdir(out_dir) if d.startswith("checkpoint-")]
     ) if ok else 0
+    n_val = len(
+        [f for f in os.listdir(out_dir) if f.startswith("validation_")]
+    ) if ok else 0
     ckpt_bytes = 0
     for root, _, files in os.walk(out_dir):
         if "checkpoint-" in root:
@@ -444,7 +507,8 @@ def bench_e2e(args):
     return {
         "metric": f"e2e_cli_wall_s ({args.preset}, {args.steps} steps, "
         f"bs={args.batch_size}, {args.resolution}px, pda+inversion+KPL, "
-        f"ckpt_every={args.checkpointing_steps})",
+        f"ckpt_every={args.checkpointing_steps}, "
+        f"validation={'sweep' if args.validation else 'off'})",
         "value": round(wall, 1) if ok else 0.0,
         "unit": "s",
         # >= 1.0 means the <120 s-per-250-steps north star is met.
@@ -452,6 +516,7 @@ def bench_e2e(args):
         "extra": {
             "returncode": proc.returncode,
             "checkpoints_written": n_ckpts,
+            "validation_grids_written": n_val,
             "checkpoint_mb_total": round(ckpt_bytes / 1e6, 1),
             "phase_budget": _phase_budget(out_dir),
             "tail": proc.stdout[-300:] if ok else (proc.stderr[-300:]),
@@ -468,6 +533,13 @@ def main():
     parser.add_argument("--checkpointing-steps", type=int, default=50,
                         help="e2e mode: periodic checkpoint cadence "
                         "(sweep default total//5; 0 disables)")
+    parser.add_argument("--validation", dest="validation", action="store_true",
+                        default=True,
+                        help="e2e mode: include the sweep's in-training "
+                        "validation rounds (4 prompts every total//5 steps "
+                        "— the cost the real sweep always pays)")
+    parser.add_argument("--no-validation", dest="validation",
+                        action="store_false")
     parser.add_argument("--preset", default="sd15")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--resolution", type=int, default=512)

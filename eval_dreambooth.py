@@ -84,6 +84,13 @@ def detect_model(args):
     return model, size
 
 
+def detect_num_vectors(files, instance):
+    """Reference multi-vector detection (eval_dreambooth.py:329-330): bin
+    filenames are unbracketed (train_textboost.py:1195-1197), so
+    `startswith(instance)` counts `{instance}.bin` / `{instance}_{i}.bin`."""
+    return len([f for f in files if f.startswith(instance) and f.endswith(".bin")])
+
+
 def generate(args):
     import jax
     from textboost_tpu.eval.dreambooth_bench import INSTANCES, prompts_for
@@ -134,7 +141,7 @@ def generate(args):
             if args.checkpoint is None
             else os.path.join(model_path, f"checkpoint-{args.checkpoint}")
         )
-        num_vectors = len([f for f in files if f.startswith(f"<{instance}") and f.endswith(".bin")])
+        num_vectors = detect_num_vectors(files, instance)
         identifier = args.token_format.replace("INSTANCE", instance)
         if num_vectors > 1:
             identifier = " ".join(

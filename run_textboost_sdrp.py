@@ -48,12 +48,21 @@ def parse_args():
     parser.add_argument("--kpl-weight", type=float, default=0.1)
     parser.add_argument("--no-weighted-sample", action="store_true", default=False)
     parser.add_argument("--no-inversion", action="store_true", default=False)
+    # Reference defaults (run_textboost_sdrp.py:99-101 hardcodes 150/4/25);
+    # exposed as flags like the DB runner's --total-steps for small runs.
+    parser.add_argument("--total-steps", type=int, default=150)
+    parser.add_argument("--batch-size", type=int, default=4)
+    parser.add_argument("--validation-steps", type=int, default=25)
+    parser.add_argument("--checkpointing-steps", type=int, default=25)
     parser.add_argument("--desc", type=str, default=None)
     parser.add_argument("--data-dir", type=str, default="./datasets/styledrop")
     parser.add_argument("--parallel", type=int, default=1,
                         help="run N instances concurrently, each subprocess "
                         "pinned to a disjoint single TPU chip (waves; see "
                         "textboost_tpu/utils/sweep.py)")
+    parser.add_argument("--sequential", action="store_true",
+                        help="run jobs in-process (no subprocess) — same "
+                        "semantics as run_textboost_db.py --sequential")
     parser.add_argument("--dry-run", action="store_true")
     return parser.parse_args()
 
@@ -83,15 +92,15 @@ def build_cmd(args, name, template, init_token, outdir, model):
         "A cat in <0>",
         "Flowers in <0>",
         "A dog in <0>",
-        "--validation_steps=25",
+        f"--validation_steps={args.validation_steps}",
         "--placeholder_token", f"<{name}>",
         "--initializer_token", init_token,
         f"--lora_rank={args.lora_rank}",
         "--learning_rate=1e-4",
         "--emb_learning_rate=1e-3",
-        "--train_batch_size=4",
-        "--max_train_steps=150",
-        "--checkpointing_steps=25",
+        f"--train_batch_size={args.batch_size}",
+        f"--max_train_steps={args.total_steps}",
+        f"--checkpointing_steps={args.checkpointing_steps}",
         "--gradient_accumulation_steps=1",
         f"--augment={args.augment}",
         f"--kpl_weight={args.kpl_weight}",
@@ -123,7 +132,7 @@ def run_jobs(args, instances, outdir, model):
         (name, build_cmd(args, name, template, init_token, outdir, model))
         for name, template, init_token in instances
     ]
-    if getattr(args, "parallel", 1) > 1:
+    if getattr(args, "parallel", 1) > 1 and not getattr(args, "sequential", False):
         from textboost_tpu.utils.sweep import launch_waves
 
         launch_waves(
@@ -134,7 +143,13 @@ def run_jobs(args, instances, outdir, model):
         print(f"=== {name}: train_textboost.py {' '.join(cmd)}")
         if args.dry_run:
             continue
-        subprocess.run([sys.executable, script] + cmd, check=False)
+        if getattr(args, "sequential", False):
+            sys.argv = ["train_textboost.py"] + cmd
+            import train_textboost
+
+            train_textboost.main(cmd)
+        else:
+            subprocess.run([sys.executable, script] + cmd, check=False)
         archive(name, cmd)
 
 

@@ -72,7 +72,7 @@ def test_two_process_training_and_resume(tmp_path):
     ]
     assert losses[0] == losses[1]
     # Only process 0 wrote the final artifacts, exactly once.
-    assert os.path.isfile(out_dir / "<dog>.bin")
+    assert os.path.isfile(out_dir / "dog.bin")
     assert os.path.isdir(out_dir / "checkpoint-2")
 
     # Phase 2 (kill-and-resume): a fresh 2-process job restores

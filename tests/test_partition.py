@@ -157,7 +157,7 @@ def test_peft_roundtrip(tmp_path):
 def test_token_bin_roundtrip(tmp_path):
     emb = np.random.RandomState(1).randn(10, 8).astype(np.float32)
     paths = export_token_embeddings(emb, {"<dog>": 3, "<cat>": 7}, str(tmp_path))
-    assert sorted(os.path.basename(p) for p in paths) == ["<cat>.bin", "<dog>.bin"]
+    assert sorted(os.path.basename(p) for p in paths) == ["cat.bin", "dog.bin"]
     loaded = import_token_embeddings(paths + [str(tmp_path / "optimizer.bin")])
     np.testing.assert_allclose(loaded["<dog>"], emb[3])
     np.testing.assert_allclose(loaded["<cat>"], emb[7])

@@ -95,7 +95,7 @@ def test_inference_cli(tmp_path):
 
     model_dir.mkdir()
     torch.save(
-        {"<dog>": torch.randn(64)}, model_dir / "<dog>.bin"
+        {"<dog>": torch.randn(64)}, model_dir / "dog.bin"
     )
     out_img = tmp_path / "grid.jpg"
     # TEXTBOOST_PLATFORM (not JAX_PLATFORMS, which the axon plugin ignores)

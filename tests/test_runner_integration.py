@@ -89,7 +89,7 @@ def test_runner_train_validate_eval_end_to_end(sweep_cwd):
     # Checkpoints (every total_steps//5 = 1 step) + final token bins.
     assert (run_dir / "checkpoint-5" / "state").is_dir()
     bins = [f for f in os.listdir(run_dir) if f.endswith(".bin")]
-    assert any(f.startswith("<dog") for f in bins)
+    assert any(f.startswith("dog") for f in bins)
 
     # Validation ran with SUBSTITUTED prompts: the learned multi-vector
     # placeholder appears in the log, the raw "<0>" never does.
@@ -202,4 +202,111 @@ def test_parallel_real_two_instances(sweep_cwd, monkeypatch):
             stdout_log[-2000:]
         )
         bins = [f for f in os.listdir(run_dir) if f.endswith(".bin")]
-        assert any(f.startswith(f"<{name}") for f in bins), bins
+        assert any(f.startswith(name) for f in bins), bins
+
+
+# ---------------------------------------------------------------------------
+# StyleDrop runner (run_textboost_sdrp.py) — VERDICT r3 item 6
+# ---------------------------------------------------------------------------
+def _sdrp_args(**over):
+    base = dict(
+        gpu=None,
+        model="tiny",
+        instances=["02"],
+        augment="pda",
+        lora_rank=4,
+        null_prob=0.1,
+        kpl_weight=0.1,
+        no_weighted_sample=False,
+        no_inversion=False,
+        total_steps=4,
+        batch_size=2,
+        validation_steps=2,
+        checkpointing_steps=2,
+        desc=None,
+        data_dir="datasets/styledrop",
+        sequential=True,
+        parallel=1,
+        dry_run=False,
+    )
+    base.update(over)
+    return argparse.Namespace(**base)
+
+
+@pytest.fixture()
+def sdrp_cwd(tmp_path, monkeypatch):
+    inst = tmp_path / "datasets" / "styledrop" / "02"
+    inst.mkdir(parents=True)
+    rng = np.random.RandomState(5)
+    Image.fromarray(rng.randint(0, 255, (160, 160, 3), dtype=np.uint8)).save(
+        inst / "style.jpg"
+    )
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def test_sdrp_dry_run_flag_composition(sdrp_cwd, capsys):
+    """Reference flag surface (run_textboost_sdrp.py:82-113): per-style
+    template as --template, style aug ops, --mixing, 19 styles."""
+    import run_textboost_sdrp as runner
+
+    runner.main(_sdrp_args(dry_run=True, instances=None,
+                           total_steps=150, batch_size=4,
+                           validation_steps=25, checkpointing_steps=25))
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith("===")]
+    assert len(lines) == 19  # full StyleDrop sweep
+    l02 = next(l for l in lines if l.startswith("=== 02:"))
+    assert "--augment_ops=style" in l02
+    assert "--mixing" in l02
+    assert "--template A cat in {}" in l02
+    assert "--initializer_token watercolor painting style" in l02
+    assert "--instance_token=<0>" in l02
+    assert "--placeholder_token <02>" in l02
+    assert "--max_train_steps=150" in l02
+    assert "--train_batch_size=4" in l02
+    assert "A man in <0>" in l02  # the runner's validation prompts
+
+
+def test_sdrp_runner_end_to_end(sdrp_cwd):
+    """Tiny-preset StyleDrop run through runner-composed flags: training
+    completes, the mixing mask engaged (style mode: even lora_B output
+    rows exactly untouched from their 0 init), validation substituted the
+    style placeholder, artifacts land."""
+    import run_textboost_sdrp as runner
+
+    runner.main(_sdrp_args())
+    run_dir = sdrp_cwd / "output" / "tb_style-tiny" / "02"
+
+    # Artifacts: archive + checkpoints + multi-vector token bins (the
+    # 3-word initializer expands <02> into <02_0..2>) + style aug token.
+    assert (run_dir / "cmd.txt").is_file()
+    assert "Training took" in (run_dir / "training.log").read_text()
+    assert (run_dir / "checkpoint-4" / "state").is_dir()
+    bins = sorted(f for f in os.listdir(run_dir) if f.endswith(".bin"))
+    assert any(f.startswith("02_") for f in bins), bins
+    assert all("<" not in f for f in bins), bins
+
+    # Validation fired with the substituted placeholder (mixing prompts
+    # "A man in <0>" -> "A man in <02_0> <02_1> ...").
+    log = (run_dir / "training.log").read_text()
+    val_lines = [l for l in log.splitlines() if "validation with prompts" in l]
+    assert val_lines
+    assert "<0>" not in val_lines[0].split("prompts:")[1]
+    assert "<02_0>" in val_lines[0]
+
+    # Mixing mask (lora/partition.py::apply_mixing_mask, style -> even
+    # output dims zeroed): in the exported PEFT adapter lora_B.weight is
+    # [out, r], so even ROWS must be exactly 0 while odd rows moved.
+    from safetensors.numpy import load_file
+
+    tensors = load_file(
+        str(run_dir / "text_encoder" / "adapter_model.safetensors")
+    )
+    b_mats = {k: v for k, v in tensors.items() if ".lora_B." in k}
+    assert b_mats
+    moved = 0.0
+    for k, v in b_mats.items():
+        assert np.abs(v[0::2]).max() == 0.0, f"{k}: even rows moved under style mixing"
+        moved = max(moved, float(np.abs(v[1::2]).max()))
+    assert moved > 0.0, "odd lora_B rows never trained — mixing zeroed everything"

@@ -63,9 +63,9 @@ def test_train_loop_end_to_end(instance_dir, tmp_path):
     )
     cfg = json.load(open(os.path.join(ckpt, "text_encoder", "adapter_config.json")))
     assert cfg["r"] == 4
-    assert os.path.isfile(os.path.join(ckpt, "<dog>.bin"))
+    assert os.path.isfile(os.path.join(ckpt, "dog.bin"))
     # Final layout at output root.
-    assert os.path.isfile(os.path.join(out, "<dog>.bin"))
+    assert os.path.isfile(os.path.join(out, "dog.bin"))
     assert os.path.isfile(
         os.path.join(out, "text_encoder", "adapter_model.safetensors")
     )
@@ -219,7 +219,7 @@ def test_train_unet_crossattn_kv(instance_dir, tmp_path):
     )
     assert np.abs(te_lora_b).max() > 0
     # Checkpoint formats still written.
-    assert os.path.isfile(os.path.join(out, "checkpoint-2", "<dog>.bin"))
+    assert os.path.isfile(os.path.join(out, "checkpoint-2", "dog.bin"))
 
 
 def test_resume_unet_crossattn_kv(instance_dir, tmp_path):
@@ -403,8 +403,8 @@ def test_multi_concept_training(instance_dir, tmp_path):
     assert len(trainer.train_loader.dataset) == 2
     result = trainer.train()
     assert np.isfinite(result["loss"])
-    assert os.path.isfile(os.path.join(out, "<dog>.bin"))
-    assert os.path.isfile(os.path.join(out, "<cat>.bin"))
+    assert os.path.isfile(os.path.join(out, "dog.bin"))
+    assert os.path.isfile(os.path.join(out, "cat.bin"))
 
 
 def test_restore_rejects_legacy_checkpoint_clearly(tmp_path):

@@ -1,0 +1,128 @@
+"""VERDICT r3 item 7: rehearse the large-weight clip-flant5 conversion.
+
+The only VQA conversions exercised before this ran at tiny/hand-built
+geometry; the real target is the 9 GB clip-flant5-xxl streaming path
+(/root/reference/eval_dreambooth.py:546-565).  This test runs the ACTUAL
+CLI (`convert_scorers.py --vqa-t5/--vqa-vision/--vqa-projector
+--vqa-config`) end-to-end at a mid geometry — a full t5-base-scale random
+torch checkpoint (~250M params, ~1 GB fp32 on disk) plus a ViT-B/32-scale
+vision tower — through torch.save -> _load_state_dict -> convert ->
+msgpack -> NativeVQAScorer, asserting P(Yes) logit parity against the same
+torch pieces and recording peak RSS, so the xxl conversion is de-risked
+mechanically before real weights are fed in.
+"""
+import json
+import os
+import resource
+import sys
+
+import numpy as np
+import pytest
+
+T5_BASE = dict(
+    vocab_size=32128, d_model=768, d_kv=64, d_ff=2048,
+    num_layers=12, num_decoder_layers=12, num_heads=12,
+)
+VIT_B32 = dict(
+    image_size=224, patch_size=32, hidden_size=768,
+    intermediate_size=3072, num_hidden_layers=12, num_attention_heads=12,
+)
+
+
+def _rss_mb():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def test_vqa_mid_geometry_conversion_rehearsal(tmp_path):
+    import torch
+
+    from textboost_tpu.eval.t5 import T5Config
+
+    from tests.test_vqa_native import _hf_t5, _hf_clip_vision
+
+    t5_cfg = T5Config(**T5_BASE)
+    hf_t5 = _hf_t5(t5_cfg, seed=0)
+
+    from textboost_tpu.eval.clip_scorer import CLIPVisionConfig
+
+    vis_cfg = CLIPVisionConfig(**VIT_B32)
+    hf_vis = _hf_clip_vision(vis_cfg, seed=1)
+    torch.manual_seed(2)
+    proj = torch.nn.Sequential(
+        torch.nn.Linear(vis_cfg.hidden_size, t5_cfg.d_model),
+        torch.nn.GELU(),
+        torch.nn.Linear(t5_cfg.d_model, t5_cfg.d_model),
+    ).eval()
+
+    # Real on-disk torch checkpoints, like a downloaded snapshot.
+    t5_path = tmp_path / "t5.bin"
+    torch.save(hf_t5.state_dict(), t5_path)
+    size_mb = os.path.getsize(t5_path) / 1e6
+    assert size_mb > 300, f"t5-base checkpoint unexpectedly small: {size_mb:.0f} MB"
+    vis_path = tmp_path / "vision.bin"
+    torch.save(
+        {f"vision_model.{k}": v for k, v in hf_vis.vision_model.state_dict().items()},
+        vis_path,
+    )
+    proj_path = tmp_path / "projector.bin"
+    torch.save(proj.state_dict(), proj_path)
+    geom_path = tmp_path / "geom.json"
+    geom_path.write_text(json.dumps({"t5": T5_BASE, "vision": VIT_B32}))
+
+    # The actual CLI, argv and all.
+    out_dir = tmp_path / "scorer_weights"
+    import convert_scorers
+
+    argv = sys.argv
+    sys.argv = [
+        "convert_scorers.py",
+        "--vqa-t5", str(t5_path),
+        "--vqa-vision", str(vis_path),
+        "--vqa-projector", str(proj_path),
+        "--vqa-config", str(geom_path),
+        "--yes-token-id", "2163",
+        "--out", str(out_dir),
+    ]
+    try:
+        convert_scorers.main()
+    finally:
+        sys.argv = argv
+    for part in ("t5", "vision", "projector"):
+        assert (out_dir / "vqa" / f"{part}.msgpack").is_file()
+
+    from textboost_tpu.eval.vqa import NativeVQAScorer
+
+    scorer = NativeVQAScorer(weights_dir=str(out_dir / "vqa"))
+    assert scorer.yes_token_id == 2163
+
+    rng = np.random.default_rng(3)
+    px = rng.standard_normal((1, 224, 224, 3)).astype(np.float32)
+    q_ids = rng.integers(2, 30000, size=(1, 9)).astype(np.int32)
+    q_mask = np.ones((1, 9), np.int32)
+    ours = np.asarray(scorer._score_fn(
+        scorer.params, px, q_ids, q_mask
+    ))
+
+    with torch.no_grad():
+        vis_out = hf_vis(
+            torch.from_numpy(px.transpose(0, 3, 1, 2)), output_hidden_states=True
+        )
+        img_tokens = proj(vis_out.hidden_states[-2][:, 1:])
+        txt = hf_t5.shared(torch.from_numpy(q_ids.astype(np.int64)))
+        embeds = torch.cat([img_tokens, txt], dim=1)
+        full_mask = torch.cat(
+            [torch.ones(1, img_tokens.shape[1], dtype=torch.long),
+             torch.from_numpy(q_mask.astype(np.int64))], dim=1
+        )
+        out = hf_t5(
+            inputs_embeds=embeds, attention_mask=full_mask,
+            decoder_input_ids=torch.zeros(1, 1, dtype=torch.long),
+        )
+        ref = torch.softmax(out.logits[:, 0], dim=-1)[:, 2163].numpy()
+
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-3)
+    # Mechanical de-risk record: peak RSS for the whole pipeline at ~1.4 GB
+    # of checkpoints.  The xxl path is ~7x larger; linear scaling of the
+    # conversion stage (stream per-tensor, no duplicate trees) keeps it
+    # inside this host's 128 GB.
+    print(f"\n[vqa-rehearsal] t5 ckpt {size_mb:.0f} MB, peak RSS {_rss_mb():.0f} MB")

@@ -14,6 +14,9 @@ from .partition import (  # noqa: F401
 from .peft_io import (  # noqa: F401
     export_lora_adapter,
     export_token_embeddings,
+    export_unet_lora_adapter,
     import_lora_adapter,
     import_token_embeddings,
+    import_unet_lora_adapter,
+    token_bin_filename,
 )

@@ -85,6 +85,19 @@ def load_textboost_pipeline(
         te_params = import_lora_adapter(te_params, adapter_dir)
         print("Loaded text encoder LoRA weights")
 
+    # UNet cross-attn LoRA (crossattn_kv runs; the reference's unet/ dir at
+    # train_textboost.py:1237-1239, persisted here in adapter form).
+    unet_params = bundle.unet_params
+    unet_lora_rank = 0
+    unet_dir = os.path.join(model_path, "unet")
+    if os.path.isfile(os.path.join(unet_dir, "adapter_model.safetensors")):
+        from ..lora.peft_io import import_unet_lora_adapter
+
+        unet_params, unet_lora_rank = import_unet_lora_adapter(
+            unet_params, unet_dir
+        )
+        print("Loaded UNet LoRA weights")
+
     # Null embedding: frozen-encoder output of the empty prompt — the
     # native regeneration of assets/null_emb_*.pt / start_emb_*.pt
     # (eval_dreambooth.py:176-183).  A reference-format torch asset can be
@@ -116,11 +129,12 @@ def load_textboost_pipeline(
         spec,
         tokenizer,
         te_params,
-        bundle.unet_params,
+        unet_params,
         bundle.vae_params,
         null_embedding=null_embedding,
         fixed_special=use_null_embedding,
         lora_rank=lora_rank,
+        unet_lora_rank=unet_lora_rank,
         vocab_size=emb.shape[0],
         dtype=dtype,
         mesh=mesh,

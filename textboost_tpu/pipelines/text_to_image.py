@@ -42,6 +42,7 @@ class TextToImagePipeline:
         null_embedding: Optional[np.ndarray] = None,
         fixed_special: bool = False,
         lora_rank: int = 0,
+        unet_lora_rank: int = 0,
         vocab_size: Optional[int] = None,
         dtype=jnp.bfloat16,
         mesh=None,
@@ -63,7 +64,12 @@ class TextToImagePipeline:
             dtype=dtype,
             vocab_size_override=vocab_size,
         )
-        self.unet = UNet2DCondition(spec.unet, dtype=dtype)
+        # cross_lora_rank must match the param tree: flax SILENTLY ignores
+        # extra leaves, so a crossattn_kv-trained tree applied through a
+        # LoRA-less module would drop the trained UNet deltas.
+        self.unet = UNet2DCondition(
+            spec.unet, dtype=dtype, cross_lora_rank=unet_lora_rank
+        )
         self.vae = AutoencoderKL(spec.vae, dtype=dtype)
         self.te_params = te_params
         self.unet_params = unet_params
@@ -207,6 +213,11 @@ class TextToImagePipeline:
             self.te_params, self.unet_params, self.vae_params,
             ids, neg_ids, latents, jnp.float32(guidance_scale),
         )
+        if output_type == "device":
+            # Raw device array, float [-1,1]: lets callers overlap the d2h
+            # fetch (slow over the tunnel) with other work — see
+            # trainer.run_validation's background writer.
+            return images
         images = np.asarray(images)
         if output_type == "uint8":
             return ((images + 1.0) * 127.5).round().clip(0, 255).astype(np.uint8)

@@ -33,7 +33,7 @@ import os
 import re
 import shutil
 import threading
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -183,6 +183,7 @@ def _write_checkpoint(
     *,
     first_added_id: int,
     token_to_id: Dict[str, int],
+    aug_tokens: Sequence[str],
     lora_rank: int,
     base_model_name: str,
 ):
@@ -223,11 +224,28 @@ def _write_checkpoint(
             rank=lora_rank,
             base_model_name=base_model_name,
         )
+    # UNet cross-attn LoRA (crossattn_kv runs): adapter-format unet/ dir so
+    # a periodic checkpoint is loadable standalone, like the final save.
+    unet_lora = (
+        payload["te_params"].get("unet_lora")
+        if isinstance(payload["te_params"], dict)
+        else None
+    )
+    if unet_lora:
+        from ..lora.peft_io import export_unet_lora_adapter
+
+        export_unet_lora_adapter(
+            unet_lora,
+            os.path.join(ckpt_dir, "unet"),
+            rank=lora_rank,
+            base_model_name=base_model_name,
+        )
 
     # (3) token bins — added rows only ever cross the host link.
     added = np.asarray(_find_embedding(te_tree), dtype=np.float32)
     export_token_embeddings(
-        _RowView(added, first_added_id), token_to_id, ckpt_dir
+        _RowView(added, first_added_id), token_to_id, ckpt_dir,
+        aug_tokens=aug_tokens,
     )
 
 
@@ -238,6 +256,7 @@ def save_checkpoint(
     *,
     first_added_id: int,
     token_to_id: Dict[str, int],
+    aug_tokens: Sequence[str] = (),
     lora_rank: int,
     base_model_name: str = "",
     total_limit: Optional[int] = None,
@@ -263,6 +282,7 @@ def save_checkpoint(
     kwargs = dict(
         first_added_id=first_added_id,
         token_to_id=token_to_id,
+        aug_tokens=tuple(aug_tokens),
         lora_rank=lora_rank,
         base_model_name=base_model_name,
     )

@@ -11,6 +11,7 @@ import dataclasses
 import json
 import logging
 import os
+import threading
 import time
 from typing import Any, Dict, List
 
@@ -188,6 +189,9 @@ class Trainer:
             self.concept_tokens[placeholder] = joined
 
         self.caption_map = None
+        # Aug tokens get [1, hidden]-shaped bins at export (the reference
+        # slices token_id:token_id+1 for them, train_textboost.py:1199-1209).
+        self.aug_tokens: List[str] = []
         if cfg.augment_inversion:
             from ..tokens.surgery import (
                 OBJECT_AUGMENTATIONS,
@@ -208,6 +212,7 @@ class Trainer:
                 new_row_ids += pids
                 for tok, tid in zip(toks, pids):
                     self.token_to_id[tok] = tid
+                    self.aug_tokens.append(tok)
                 self.caption_map[placeholder] = " ".join(toks)
 
         # New rows land appended in id order (tokenizer grows sequentially).
@@ -800,14 +805,17 @@ class Trainer:
                 and cfg.validation_steps
                 and step % cfg.validation_steps == 0
             ):
-                self.run_validation(step)
+                # Non-blocking: only sampler dispatch stays on the loop
+                # clock; fetch + jpg write land on a writer thread.
+                self.run_validation(step, blocking=False)
 
         wall = time.perf_counter() - start_time
         logger.info("Training took %.1f seconds.", wall)
         print(f"Training took {wall:.1f} seconds.")
-        # Async checkpoint writers must land before the run is declared
-        # done (their wall time overlapped the loop above).
+        # Async checkpoint/validation writers must land before the run is
+        # declared done (their wall time overlapped the loop above).
         self.join_checkpoint_writers()
+        self.join_validation_writers()
         if jax.process_index() == 0:
             self.save_final()
         self._trackers.finish()
@@ -835,6 +843,7 @@ class Trainer:
             self.state,
             first_added_id=self.first_added_id,
             token_to_id=self.token_to_id,
+            aug_tokens=self.aug_tokens,
             lora_rank=self.config.lora_rank,
             base_model_name=self.config.pretrained_model_name_or_path
             or self.bundle.spec.name,
@@ -861,11 +870,25 @@ class Trainer:
                 raise RuntimeError(f"checkpoint writer {t.name} failed") from exc
 
     def save_final(self):
-        """Final layout (train_textboost.py:1234-1266): text_encoder/ PEFT
-        dir + token bins at output root."""
-        from ..lora.peft_io import export_lora_adapter, export_token_embeddings
+        """Final layout (train_textboost.py:1234-1266): unet/ adapter (for
+        crossattn_kv runs; ref writes the full UNet at :1237-1239 — see
+        export_unet_lora_adapter for the documented deviation) +
+        text_encoder/ PEFT dir + token bins at output root."""
+        from ..lora.peft_io import (
+            export_lora_adapter,
+            export_token_embeddings,
+            export_unet_lora_adapter,
+        )
 
         out = self.config.output_dir
+        if self.train_unet:
+            export_unet_lora_adapter(
+                jax.tree.map(np.asarray, self.state.te_params["unet_lora"]),
+                os.path.join(out, "unet"),
+                rank=self.config.lora_rank,
+                base_model_name=self.config.pretrained_model_name_or_path
+                or self.bundle.spec.name,
+            )
         if not self.config.skip_save_text_encoder and self.config.lora_rank > 0:
             export_lora_adapter(
                 self._te_tree(),
@@ -883,7 +906,9 @@ class Trainer:
             np.float32,
         )
         sparse = _RowView(rows, {tid: k for k, tid in enumerate(ids)})
-        export_token_embeddings(sparse, self.token_to_id, out)
+        export_token_embeddings(
+            sparse, self.token_to_id, out, aug_tokens=self.aug_tokens
+        )
 
     # ------------------------------------------------------------------
     def make_pipeline(self) -> TextToImagePipeline:
@@ -904,6 +929,7 @@ class Trainer:
             null_embedding=self.null_embedding,
             fixed_special=True,
             lora_rank=self.config.lora_rank,
+            unet_lora_rank=self.config.lora_rank if self.train_unet else 0,
             vocab_size=int(
                 self._te_tree()["params"]["token_embedding"].shape[0]
             ),
@@ -934,32 +960,95 @@ class Trainer:
         n = max(cfg.num_validation_images, 1)
         return [p for p in subs for _ in range(n)]
 
-    def run_validation(self, step: int):
+    def _validation_pipe(self) -> TextToImagePipeline:
+        """Validation pipeline CACHED across rounds.  make_pipeline builds
+        fresh flax modules + jit objects each call — a new pipeline every
+        validation round would re-trace the whole 25-step sampler program
+        per round (tens of seconds each on the tunneled relay).  Reusing
+        one pipeline and rebinding its param references keeps ONE compiled
+        sampler serving every round."""
+        pipe = getattr(self, "_val_pipe", None)
+        if pipe is None:
+            self._val_pipe = pipe = self.make_pipeline()
+        else:
+            if self.train_unet:
+                from ..lora.partition import merge_lora
+
+                pipe.unet_params = merge_lora(
+                    self.frozen["unet_base"], self.state.te_params["unet_lora"]
+                )
+            pipe.te_params = self._te_tree()
+        return pipe
+
+    def join_validation_writers(self, timeout: float = 600.0):
+        threads = getattr(self, "_val_threads", [])
+        self._val_threads = []
+        for t in threads:
+            t.join(timeout)
+            exc = getattr(t, "exception", None)
+            if exc is not None:
+                raise RuntimeError(f"validation writer {t.name} failed") from exc
+
+    def run_validation(self, step: int, blocking: bool = True):
         """log_validation counterpart (train_textboost.py:453-531): sample
         num_validation_images per substituted prompt with the live weights
-        and write a (prompts x images) grid to validation_{step}.jpg."""
+        and write a (prompts x images) grid to validation_{step}.jpg.
+
+        blocking=False (the train loop's mode) keeps only the sampler
+        DISPATCH on the loop's clock: the d2h image fetch (~12 MB/round at
+        1-5 MB/s over the tunnel), grid assembly, jpg write, and tracker
+        logging run on a daemon thread joined (with failure propagation)
+        at the end of train()."""
         cfg = self.config
-        pipe = self.make_pipeline()
+        pipe = self._validation_pipe()
         prompts = self.validation_prompt_list()
         logger.info("Running validation with prompts: %s", prompts)
-        images = pipe(
+        images_dev = pipe(
             prompts,
             num_inference_steps=25,
             guidance_scale=7.5,
             # One key for the whole batch: each image draws its own latent.
             seed=cfg.seed,
             sampler=cfg.validation_scheduler,
+            output_type="device",
         )
-        from PIL import Image
-
-        n = max(cfg.num_validation_images, 1)
-        rows = [
-            np.concatenate(list(images[r : r + n]), axis=1)
-            for r in range(0, len(prompts), n)
-        ]
-        grid = np.concatenate(rows, axis=0)
         path = os.path.join(cfg.output_dir, f"validation_{step}.jpg")
-        Image.fromarray(grid).save(path)
-        self._trackers.log_images("validation", [grid], step, captions=prompts[:1])
-        logger.info("Wrote validation grid %s", path)
+        n = max(cfg.num_validation_images, 1)
+
+        def _write():
+            from PIL import Image
+
+            images = np.asarray(images_dev)
+            images = (
+                ((images + 1.0) * 127.5).round().clip(0, 255).astype(np.uint8)
+            )
+            rows = [
+                np.concatenate(list(images[r : r + n]), axis=1)
+                for r in range(0, len(prompts), n)
+            ]
+            grid = np.concatenate(rows, axis=0)
+            Image.fromarray(grid).save(path)
+            self._trackers.log_images(
+                "validation", [grid], step, captions=prompts[:1]
+            )
+            logger.info("Wrote validation grid %s", path)
+
+        if blocking:
+            _write()
+            return path
+
+        def _run():
+            try:
+                _write()
+            except BaseException as e:  # noqa: BLE001 — re-raised at join
+                thread.exception = e
+
+        thread = threading.Thread(
+            target=_run, daemon=True, name=f"val-writer-{step}"
+        )
+        thread.exception = None
+        if not hasattr(self, "_val_threads"):
+            self._val_threads = []
+        self._val_threads.append(thread)
+        thread.start()
         return path
