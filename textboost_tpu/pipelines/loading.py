@@ -24,7 +24,7 @@ from .text_to_image import TextToImagePipeline
 
 def _natural_sorted_bins(model_path: str):
     """*.bin paths in natural (numeric-aware) order so multi-vector tokens
-    load in index order — <x_10>.bin after <x_2>.bin, not before it."""
+    load in index order — x_10.bin after x_2.bin, not before it."""
 
     def key(name: str):
         return [
