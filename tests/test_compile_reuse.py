@@ -125,3 +125,35 @@ def test_step_hlo_identical_across_instances_and_resume(image_root, tmp_path):
     )
     t_b.train_loader.stop(); t_b.prior_loader.stop()
     t_r.train_loader.stop(); t_r.prior_loader.stop()
+
+
+def test_sampler_hlo_identical_across_instances(image_root, tmp_path):
+    """The background-compiled validation sampler is instance-independent
+    too: the null embedding rides as a traced argument
+    (pipelines/text_to_image.py::build_sample_program), and prompt CONTENT
+    never enters the program (only the prompt COUNT does).  One sampler
+    executable serves every instance of a sweep."""
+    from textboost_tpu.train.aot import _lower_sampler, validation_signature
+
+    val = dict(
+        validation_steps=2,
+        validation_prompts=["photo of a <0>", "a <0> in the snow"],
+        num_validation_images=2,
+    )
+    t_a = _trainer(image_root, tmp_path / "sa", "dog", "dog", **val)
+    t_b = _trainer(image_root, tmp_path / "sb", "cat", "toy", **val)
+    digests = []
+    for t in (t_a, t_b):
+        sig = validation_signature(t.config, t.bundle.spec)
+        assert sig is not None
+        lowered = _lower_sampler(
+            t.config, t.bundle.spec, len(t.tokenizer), t.mesh,
+            t.weight_dtype, sig,
+        )
+        text = lowered.as_text()
+        digests.append((hashlib.sha256(text.encode()).hexdigest(), len(text)))
+        t.train_loader.stop(); t.prior_loader.stop()
+    assert digests[0] == digests[1], (
+        "validation-sampler HLO differs across instances — a data-dependent "
+        "value leaked into the traced sampler program"
+    )

@@ -12,6 +12,7 @@ null patch resolves to the cached frozen-encoder embedding
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional, Sequence, Union
 
 import jax
@@ -28,6 +29,57 @@ from ..models import (
 )
 from ..ops.schedule import NoiseSchedule
 from ..samplers import get_sampler
+
+logger = logging.getLogger("textboost_tpu")
+
+
+def build_sample_program(spec, text_encoder, unet, vae, schedule, *,
+                         steps: int, do_cfg: bool, sampler_name: str,
+                         fixed_special: bool):
+    """The whole-trajectory sampler program (CLIP encode -> CFG-doubled
+    UNet lax.scan -> VAE decode) as a pure function of its arrays.
+
+    Shared by the pipeline's lazy jit and the background sampler AOT
+    (train/aot.py::launch_sampler_aot): the null embedding rides as a
+    TRACED argument (not a closure constant), so the program is
+    shape-in/shape-out — byte-identical across instances/runs and
+    lowerable before any model weights exist."""
+    sampler = get_sampler(sampler_name)
+
+    def fn(te_params, unet_params, vae_params, ids, neg_ids, latents,
+           guidance, null_emb):
+        hidden, _ = text_encoder.apply(te_params, ids)
+        hidden = apply_null_embedding_patch(
+            hidden, ids, null_emb,
+            spec.text_encoder.eos_token_id, fixed_special,
+        )
+        if do_cfg:
+            neg_hidden, _ = text_encoder.apply(te_params, neg_ids)
+            neg_hidden = apply_null_embedding_patch(
+                neg_hidden, neg_ids, null_emb,
+                spec.text_encoder.eos_token_id, fixed_special,
+            )
+            ctx = jnp.concatenate([neg_hidden, hidden], axis=0)
+
+            def model_fn(x, t):
+                x2 = jnp.concatenate([x, x], axis=0)
+                t2 = jnp.concatenate([t, t], axis=0)
+                out = unet.apply(unet_params, x2, t2, ctx)
+                uncond, cond = jnp.split(out, 2, axis=0)
+                return uncond + guidance * (cond - uncond)
+
+        else:
+
+            def model_fn(x, t):
+                return unet.apply(unet_params, x, t, hidden)
+
+        z = sampler(model_fn, schedule, latents, steps)
+        images = vae.apply(
+            vae_params, z / spec.vae.scaling_factor, method="decode"
+        )
+        return jnp.clip(images.astype(jnp.float32), -1.0, 1.0)
+
+    return fn
 
 
 class TextToImagePipeline:
@@ -121,42 +173,22 @@ class TextToImagePipeline:
     @functools.lru_cache(maxsize=32)
     def _sample_fn(self, batch: int, height: int, width: int, steps: int,
                    do_cfg: bool, sampler_name: str):
-        sampler = get_sampler(sampler_name)
-        spec = self.spec
-
-        def fn(te_params, unet_params, vae_params, ids, neg_ids, latents, guidance):
-            hidden, _ = self.text_encoder.apply(te_params, ids)
-            hidden = apply_null_embedding_patch(
-                hidden, ids, self.null_embedding,
-                spec.text_encoder.eos_token_id, self.fixed_special,
+        return jax.jit(
+            build_sample_program(
+                self.spec, self.text_encoder, self.unet, self.vae,
+                self.schedule, steps=steps, do_cfg=do_cfg,
+                sampler_name=sampler_name, fixed_special=self.fixed_special,
             )
-            if do_cfg:
-                neg_hidden, _ = self.text_encoder.apply(te_params, neg_ids)
-                neg_hidden = apply_null_embedding_patch(
-                    neg_hidden, neg_ids, self.null_embedding,
-                    spec.text_encoder.eos_token_id, self.fixed_special,
-                )
-                ctx = jnp.concatenate([neg_hidden, hidden], axis=0)
+        )
 
-                def model_fn(x, t):
-                    x2 = jnp.concatenate([x, x], axis=0)
-                    t2 = jnp.concatenate([t, t], axis=0)
-                    out = self.unet.apply(unet_params, x2, t2, ctx)
-                    uncond, cond = jnp.split(out, 2, axis=0)
-                    return uncond + guidance * (cond - uncond)
-
-            else:
-
-                def model_fn(x, t):
-                    return self.unet.apply(unet_params, x, t, hidden)
-
-            z = sampler(model_fn, self.schedule, latents, steps)
-            images = self.vae.apply(
-                vae_params, z / spec.vae.scaling_factor, method="decode"
-            )
-            return jnp.clip(images.astype(jnp.float32), -1.0, 1.0)
-
-        return jax.jit(fn)
+    def install_aot(self, key, compiled) -> None:
+        """Install a background-compiled sampler executable (train/aot.py)
+        for the `(batch, height, width, steps, do_cfg, sampler)` signature.
+        __call__ prefers it over the lazy jit; any call-time mismatch
+        (sharding/layout/shape) falls back to the jit path."""
+        if not hasattr(self, "_aot"):
+            self._aot = {}
+        self._aot[tuple(key)] = compiled
 
     # ------------------------------------------------------------------
     def __call__(
@@ -194,25 +226,44 @@ class TextToImagePipeline:
                 latents = jnp.broadcast_to(latents[None], (batch,) + latents.shape)
 
         do_cfg = guidance_scale > 1.0
+        guidance = jnp.float32(guidance_scale)
         if self.mesh is not None:
             from ..parallel.mesh import batch_sharding, replicated
 
+            rep = replicated(self.mesh)
             if not self._mesh_placed:
-                rep = replicated(self.mesh)
                 self.te_params = jax.device_put(self.te_params, rep)
                 self.unet_params = jax.device_put(self.unet_params, rep)
                 self.vae_params = jax.device_put(self.vae_params, rep)
+                if self.null_embedding is not None:
+                    self.null_embedding = jax.device_put(
+                        self.null_embedding, rep
+                    )
                 self._mesh_placed = True
             ids = jax.device_put(ids, batch_sharding(self.mesh, ids.ndim))
             neg_ids = jax.device_put(neg_ids, batch_sharding(self.mesh, neg_ids.ndim))
             latents = jax.device_put(
                 latents, batch_sharding(self.mesh, latents.ndim)
             )
-        fn = self._sample_fn(batch, height, width, num_inference_steps, do_cfg, sampler)
-        images = fn(
+            guidance = jax.device_put(guidance, rep)
+        key = (batch, height, width, num_inference_steps, do_cfg, sampler)
+        args = (
             self.te_params, self.unet_params, self.vae_params,
-            ids, neg_ids, latents, jnp.float32(guidance_scale),
+            ids, neg_ids, latents, guidance, self.null_embedding,
         )
+        compiled = getattr(self, "_aot", {}).get(key)
+        images = None
+        if compiled is not None:
+            try:
+                images = compiled(*args)
+            except Exception as e:  # noqa: BLE001 — jit fallback
+                logger.info(
+                    "sampler AOT mismatch for %s (%s); using plain jit",
+                    key, repr(e)[:200],
+                )
+                self._aot.pop(key, None)
+        if images is None:
+            images = self._sample_fn(*key)(*args)
         if output_type == "device":
             # Raw device array, float [-1,1]: lets callers overlap the d2h
             # fetch (slow over the tunnel) with other work — see

@@ -30,7 +30,8 @@ logger = logging.getLogger("textboost_tpu")
 class StepAot:
     """Holder for the background compile result."""
 
-    def __init__(self):
+    def __init__(self, name: str = "step AOT"):
+        self.name = name
         self._done = threading.Event()
         self._compiled = None
         self._error: Optional[str] = None
@@ -38,10 +39,11 @@ class StepAot:
     def result(self, timeout: float = 900.0):
         """The compiled executable, or None (not ready in time / failed)."""
         if not self._done.wait(timeout):
-            logger.info("step AOT: not ready after %.0fs; using plain jit", timeout)
+            logger.info("%s: not ready after %.0fs; using plain jit",
+                        self.name, timeout)
             return None
         if self._compiled is None and self._error:
-            logger.info("step AOT failed (%s); using plain jit", self._error)
+            logger.info("%s failed (%s); using plain jit", self.name, self._error)
         return self._compiled
 
 
@@ -234,3 +236,161 @@ def _compile_step(cfg, spec, vocab_size, first_added_id, mesh, dtype) -> Any:
     compiled = jit_step.lower(state_abs, batch_abs, frozen_abs).compile()
     logger.info("step AOT: compiled in background")
     return compiled
+
+
+# ----------------------------------------------------------------------
+# Validation-sampler AOT.
+#
+# The 25-step validation sampler (CLIP encode + CFG-doubled UNet scan +
+# VAE decode) costs a ~65-75 s compile on the tunneled relay, paid at
+# validation round 1 ON the loop clock — and the persistent cache's
+# >120 s threshold deliberately excludes it (deserializing mid-size
+# programs through the relay is slower than recompiling them).  Like the
+# train step, the program is pure shape-in/shape-out (the null embedding
+# rides as a traced argument, pipelines/text_to_image.py::
+# build_sample_program), so it can compile in a daemon thread from
+# setup start; trainer._validation_pipe installs the executable into the
+# cached validation pipeline.
+
+
+def validation_signature(cfg, spec):
+    """The (batch, h, w, steps, do_cfg, sampler) key run_validation's
+    pipeline call will use — the contract between the AOT compile and
+    pipeline.install_aot.  None when validation is off."""
+    if not (cfg.validation_prompts and cfg.validation_steps):
+        return None
+    batch = len(cfg.validation_prompts) * max(cfg.num_validation_images, 1)
+    res = spec.resolution
+    # run_validation hardcodes 25 steps / CFG 7.5 (train_textboost.py:508).
+    return (batch, res, res, 25, True, cfg.validation_scheduler)
+
+
+def launch_sampler_aot(cfg, spec, *, vocab_size: int, mesh, dtype,
+                       allow_cpu: bool = False) -> Optional[StepAot]:
+    """Background-compile the validation sampler; None when validation is
+    off or the configuration is outside the supported envelope (the
+    pipeline then compiles lazily at round 1, as before)."""
+    sig = validation_signature(cfg, spec)
+    if sig is None:
+        return None
+    batch = sig[0]
+    if (
+        cfg.mesh_tp > 1
+        or jax.process_count() > 1
+        or batch % mesh.shape["dp"] != 0
+        or (jax.default_backend() != "tpu" and not allow_cpu)
+    ):
+        return None
+
+    holder = StepAot(name="sampler AOT")
+
+    def _build():
+        try:
+            holder._compiled = _compile_sampler(cfg, spec, vocab_size, mesh, dtype, sig)
+        except Exception as e:  # noqa: BLE001 — fallback path must survive
+            holder._error = repr(e)[:200]
+        finally:
+            holder._done.set()
+
+    threading.Thread(target=_build, daemon=True, name="sampler-aot").start()
+    return holder
+
+
+def _compile_sampler(cfg, spec, vocab_size, mesh, dtype, sig) -> Any:
+    compiled = _lower_sampler(cfg, spec, vocab_size, mesh, dtype, sig).compile()
+    logger.info("sampler AOT: compiled in background")
+    return compiled
+
+
+def _lower_sampler(cfg, spec, vocab_size, mesh, dtype, sig):
+    from ..models import CLIPTextModel, UNet2DCondition
+    from ..models.vae import AutoencoderKL
+    from ..ops.schedule import NoiseSchedule
+    from ..parallel.mesh import batch_sharding, replicated
+    from ..pipelines.text_to_image import build_sample_program
+
+    batch, height, width, steps, do_cfg, sampler_name = sig
+    rep = replicated(mesh)
+    bsh = lambda ndim: batch_sharding(mesh, ndim)  # noqa: E731
+
+    # Modules: mirror trainer.make_pipeline exactly (validation pipelines
+    # are built without remat; the VAE runs in the pipeline dtype).
+    train_unet = cfg.unet_params_to_train == "crossattn_kv"
+    text_encoder = CLIPTextModel(
+        spec.text_encoder,
+        lora_rank=cfg.lora_rank,
+        dtype=dtype,
+        vocab_size_override=vocab_size,
+    )
+    unet = UNet2DCondition(
+        spec.unet, dtype=dtype,
+        cross_lora_rank=cfg.lora_rank if train_unet else 0,
+    )
+    vae = AutoencoderKL(spec.vae, dtype=dtype)
+    # Param SHAPES/dtypes mirror the trainer's actual vae_params, which
+    # load in f32 under --vae_fp32 (the compute module above still runs
+    # in the pipeline dtype, like make_pipeline does).
+    vae_abs_module = (
+        AutoencoderKL(spec.vae, dtype=jnp.float32) if cfg.vae_fp32 else vae
+    )
+    schedule = NoiseSchedule.create(
+        num_train_timesteps=spec.scheduler.num_train_timesteps,
+        beta_start=spec.scheduler.beta_start,
+        beta_end=spec.scheduler.beta_end,
+        beta_schedule=spec.scheduler.beta_schedule,
+        prediction_type=spec.scheduler.prediction_type,
+    )
+
+    key = jax.random.PRNGKey(0)
+    ids1 = jnp.zeros((1, 77), jnp.int32)
+
+    def sds(tree, sharding):
+        return jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding),
+            tree,
+        )
+
+    # The trainable TE tree the pipeline will be handed: token_embedding
+    # promoted to f32 by the merged setup program.
+    te_abs = jax.eval_shape(text_encoder.init, key, ids1)
+    te_abs["params"] = dict(te_abs["params"])
+    emb = te_abs["params"]["token_embedding"]
+    te_abs["params"]["token_embedding"] = jax.ShapeDtypeStruct(
+        emb.shape, jnp.float32
+    )
+    unet_abs = jax.eval_shape(
+        unet.init,
+        key,
+        jnp.zeros((1, spec.unet.sample_size, spec.unet.sample_size, 4)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, spec.unet.cross_attention_dim)),
+    )
+    vae_abs = jax.eval_shape(
+        vae_abs_module.init, key, jnp.zeros((1, 64, 64, 3)), key
+    )
+
+    fn = build_sample_program(
+        spec, text_encoder, unet, vae, schedule,
+        steps=steps, do_cfg=do_cfg, sampler_name=sampler_name,
+        fixed_special=True,
+    )
+    args_abs = (
+        sds(te_abs, rep),
+        sds(unet_abs, rep),
+        sds(vae_abs, rep),
+        jax.ShapeDtypeStruct((batch, 77), jnp.int32, sharding=bsh(2)),
+        jax.ShapeDtypeStruct((batch, 77), jnp.int32, sharding=bsh(2)),
+        jax.ShapeDtypeStruct(
+            (batch, height // 8, width // 8, 4), jnp.float32, sharding=bsh(4)
+        ),
+        jax.ShapeDtypeStruct((), jnp.float32, sharding=rep),
+        jax.ShapeDtypeStruct(
+            (
+                spec.text_encoder.max_position_embeddings,
+                spec.text_encoder.hidden_size,
+            ),
+            jnp.float32,
+            sharding=rep,
+        ),
+    )
+    return jax.jit(fn).lower(*args_abs)

@@ -257,11 +257,13 @@ class Trainer:
         from .aot import launch_step_aot
 
         self._step_aot = None
+        self._sampler_aot = None
         early_spec_name = resolve_spec_name(
             cfg.pretrained_model_name_or_path, cfg.model_preset
         )
         if early_spec_name is not None:
             from ..models import get_spec
+            from .aot import launch_sampler_aot
 
             self._step_aot = launch_step_aot(
                 cfg,
@@ -270,6 +272,18 @@ class Trainer:
                 first_added_id=first_added_id,
                 mesh=self.mesh,
                 dtype=dtype,
+            )
+            # The 25-step validation sampler is shape-only too — compile
+            # it in the background so validation round 1 doesn't stall
+            # the loop ~65-75 s (the persistent cache deliberately skips
+            # mid-size programs; see aot.launch_sampler_aot).
+            self._sampler_aot = launch_sampler_aot(
+                cfg,
+                get_spec(early_spec_name),
+                vocab_size=len(self.tokenizer),
+                mesh=self.mesh,
+                dtype=dtype,
+                allow_cpu=os.environ.get("TEXTBOOST_SAMPLER_AOT_CPU") == "1",
             )
 
         src = jnp.asarray(init_row_ids, jnp.int32)
@@ -911,7 +925,7 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
-    def make_pipeline(self) -> TextToImagePipeline:
+    def make_pipeline(self, mesh=None) -> TextToImagePipeline:
         if self.train_unet:
             from ..lora.partition import merge_lora
 
@@ -934,7 +948,28 @@ class Trainer:
                 self._te_tree()["params"]["token_embedding"].shape[0]
             ),
             dtype=self.weight_dtype,
+            mesh=mesh,
         )
+
+    def _validation_mesh(self):
+        """The mesh the validation pipeline shards its generation batch
+        over — None (replicated single-device semantics) when the batch
+        doesn't divide dp or the config is outside the sampler-AOT
+        envelope.  MUST stay consistent with aot.launch_sampler_aot's
+        gating: the AOT executable is lowered for exactly these
+        shardings."""
+        from .aot import validation_signature
+
+        cfg = self.config
+        sig = validation_signature(cfg, self.bundle.spec)
+        if (
+            sig is None
+            or cfg.mesh_tp > 1
+            or jax.process_count() > 1
+            or sig[0] % self.mesh.shape["dp"]
+        ):
+            return None
+        return self.mesh
 
     def validation_prompt_list(self) -> List[str]:
         """Substituted + expanded validation prompts: indexed `<{i}>` per
@@ -969,7 +1004,23 @@ class Trainer:
         sampler serving every round."""
         pipe = getattr(self, "_val_pipe", None)
         if pipe is None:
-            self._val_pipe = pipe = self.make_pipeline()
+            self._val_pipe = pipe = self.make_pipeline(
+                mesh=self._validation_mesh()
+            )
+            aot = getattr(self, "_sampler_aot", None)
+            if aot is not None:
+                # Waiting here beats falling back: a fresh lazy compile
+                # restarts the same ~65-75 s from zero, while the
+                # background one is already minutes in.
+                compiled = aot.result(timeout=900)
+                if compiled is not None:
+                    from .aot import validation_signature
+
+                    pipe.install_aot(
+                        validation_signature(self.config, self.bundle.spec),
+                        compiled,
+                    )
+                    logger.info("using background-AOT-compiled sampler")
         else:
             if self.train_unet:
                 from ..lora.partition import merge_lora
