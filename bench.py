@@ -437,6 +437,10 @@ def bench_e2e(args):
         sys.executable,
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "train_textboost.py"),
         "--instance_data_dir", inst,
+        # placeholder_token is what actually names the trained token
+        # (instance_token defaults to it); set both so different-token
+        # runs really train different tokens.
+        "--placeholder_token", args.instance_token,
         "--instance_token", args.instance_token,
         "--initializer_token", args.initializer_token,
         "--output_dir", out_dir,

@@ -719,14 +719,26 @@ class Trainer:
         }
         next_batch = self._device_batch(next(train_iter), next(prior_iter))
         if getattr(self, "_step_aot", None) is not None:
+            t_wait = time.perf_counter()
             compiled = self._step_aot.result()
+            t_wait = time.perf_counter() - t_wait
+            if t_wait > 1.0:
+                # Under a healthy relay the background compile finishes
+                # during setup; a degraded compile service serializes it
+                # into the loop wall — make that attribution visible.
+                logger.info("step AOT wait: %.1fs", t_wait)
             if compiled is not None:
                 try:
                     # Swap in the background-compiled executable; a
                     # signature mismatch raises BEFORE execution (donated
                     # buffers intact), falling back to the plain jit.
+                    t0 = time.perf_counter()
                     state, metrics = compiled(self.state, next_batch, self.frozen)
                     jax.block_until_ready(metrics["loss"])
+                    logger.info(
+                        "first step dispatch (AOT swap): %.1fs",
+                        time.perf_counter() - t0,
+                    )
                     self.state = state
                     next_batch = self._device_batch(
                         next(train_iter), next(prior_iter)
@@ -1012,7 +1024,11 @@ class Trainer:
                 # Waiting here beats falling back: a fresh lazy compile
                 # restarts the same ~65-75 s from zero, while the
                 # background one is already minutes in.
+                t_wait = time.perf_counter()
                 compiled = aot.result(timeout=900)
+                t_wait = time.perf_counter() - t_wait
+                if t_wait > 1.0:
+                    logger.info("sampler AOT wait: %.1fs", t_wait)
                 if compiled is not None:
                     from .aot import validation_signature
 
