@@ -266,7 +266,11 @@ def bench_parts(args):
         fn = jax.jit(lambda c, p: jax.lax.scan(
             lambda cc, _: (body(cc, p), None), c, None, length=N)[0])
         compiled = fn.lower(x0, params).compile()
-        flops_of[name] = _cost_flops(compiled) / N  # per iteration
+        # XLA's cost analysis counts a scan body ONCE regardless of trip
+        # count (verified: flops identical at length 1/8/32, and the
+        # components summed this way match the full-step program's count),
+        # so the body count IS the per-iteration figure — no /N.
+        flops_of[name] = _cost_flops(compiled)
         np.asarray(fn(x0, params))  # warmup (compile + execute, fetched)
         if jnp.issubdtype(x0.dtype, jnp.floating):
             x1 = x0 * (1.0 + 1e-3)
