@@ -260,11 +260,20 @@ def bench_parts(args):
         call, so the only trustworthy completion barrier is a
         device-to-host fetch of the result (np.asarray); (b) it dedupes
         bit-identical executions, so the timed call must use different
-        input bits than the warmup.  N=32 amortizes the d2h fetch."""
+        input bits than the warmup.  The fetched value is an IN-JIT scalar
+        reduction of the final carry (4 bytes): fetching the carry itself
+        put its full d2h transfer on the clock — the VAE part's 25 MB f32
+        pixel batch over the 1-5 MB/s tunnel inflated "VAE encode" by
+        20-150 ms/iter depending on tunnel health (measured 71.9/99.3/
+        132.4 ms across relay windows for the same program)."""
         import numpy as np
 
-        fn = jax.jit(lambda c, p: jax.lax.scan(
-            lambda cc, _: (body(cc, p), None), c, None, length=N)[0])
+        def outer(c, p):
+            out = jax.lax.scan(
+                lambda cc, _: (body(cc, p), None), c, None, length=N)[0]
+            return jnp.sum(out.astype(jnp.float32))
+
+        fn = jax.jit(outer)
         compiled = fn.lower(x0, params).compile()
         # XLA's cost analysis counts a scan body ONCE regardless of trip
         # count (verified: flops identical at length 1/8/32, and the
