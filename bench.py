@@ -403,6 +403,12 @@ def _phase_budget(out_dir: str):
                 budget["first_step_dispatch_s"] = float(
                     line.rsplit(": ", 1)[1].rstrip("s\n")
                 )
+            elif "step AOT wait" in line:
+                budget["step_aot_wait_s"] = float(
+                    line.rsplit(": ", 1)[1].rstrip("s\n")
+                )
+            elif "step AOT: HLO fingerprint" in line:
+                budget["step_hlo_fingerprint"] = line.rsplit(" ", 1)[1].strip()
             elif "Training took" in line:
                 budget["loop_plus_setup_s"] = float(
                     line.split("Training took ")[1].split(" seconds")[0]
@@ -424,14 +430,12 @@ def _phase_budget(out_dir: str):
     return budget
 
 
-def bench_e2e(args):
-    """Full flagship CLI run (BASELINE.md north star: one-shot instance,
-    250 steps x bs 8, 512px, pda+inversion+KPL, under 120 s wall on
-    v5e-8).  Runs train_textboost.py as a subprocess on a synthetic
-    instance image; wall time includes model build, compile (amortized by
-    the persistent cache), the host data pipeline, PERIODIC checkpoints at
-    the sweep default cadence (checkpointing_steps=50 — the r2 number
-    quietly measured 0), and final export."""
+def _run_flagship_cli(args, *, instance_token, initializer_token,
+                      cache_dir=None):
+    """One train_textboost.py subprocess on a synthetic instance image,
+    returning wall time + artifact counts + the parsed phase budget.
+    Shared by e2e (one honest flagship run) and sweep2 (two back-to-back
+    runs against one fresh compile cache)."""
     import subprocess
     import tempfile
 
@@ -453,9 +457,9 @@ def bench_e2e(args):
         # placeholder_token is what actually names the trained token
         # (instance_token defaults to it); set both so different-token
         # runs really train different tokens.
-        "--placeholder_token", args.instance_token,
-        "--instance_token", args.instance_token,
-        "--initializer_token", args.initializer_token,
+        "--placeholder_token", instance_token,
+        "--instance_token", instance_token,
+        "--initializer_token", initializer_token,
         "--output_dir", out_dir,
         "--model_preset", args.preset,
         "--max_train_steps", str(args.steps),
@@ -490,7 +494,10 @@ def bench_e2e(args):
             "painting of a <0> in the Monet style",
         ]
     env = dict(os.environ)
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+    if cache_dir is not None:
+        env["JAX_COMPILATION_CACHE_DIR"] = cache_dir
+    else:
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
     t0 = time.time()
     # Popen (not run) so the watchdog can kill the child: os._exit from
     # the abort timer would otherwise orphan a train process that keeps
@@ -508,7 +515,6 @@ def bench_e2e(args):
     proc.stdout, proc.stderr = out, err  # uniform access below
     wall = time.time() - t0
     ok = proc.returncode == 0 and os.path.isdir(out_dir)
-    target = 120.0 * args.steps / 250.0
     n_ckpts = len(
         [d for d in os.listdir(out_dir) if d.startswith("checkpoint-")]
     ) if ok else 0
@@ -522,6 +528,30 @@ def bench_e2e(args):
                 os.path.getsize(os.path.join(root, f)) for f in files
             )
     return {
+        "ok": ok,
+        "wall": wall,
+        "returncode": proc.returncode,
+        "checkpoints_written": n_ckpts,
+        "validation_grids_written": n_val,
+        "checkpoint_mb_total": round(ckpt_bytes / 1e6, 1),
+        "phase_budget": _phase_budget(out_dir),
+        "tail": proc.stdout[-300:] if ok else (proc.stderr[-300:]),
+    }
+
+
+def bench_e2e(args):
+    """Full flagship CLI run (BASELINE.md north star: one-shot instance,
+    250 steps x bs 8, 512px, pda+inversion+KPL, under 120 s wall on
+    v5e-8).  Wall time includes model build, compile (amortized by the
+    persistent cache), the host data pipeline, PERIODIC checkpoints at
+    the sweep default cadence (checkpointing_steps=50 — the r2 number
+    quietly measured 0), in-training validation (sweep default, VERDICT
+    r3 weak #1), and final export."""
+    run = _run_flagship_cli(args, instance_token=args.instance_token,
+                            initializer_token=args.initializer_token)
+    ok, wall = run.pop("ok"), run.pop("wall")
+    target = 120.0 * args.steps / 250.0
+    return {
         "metric": f"e2e_cli_wall_s ({args.preset}, {args.steps} steps, "
         f"bs={args.batch_size}, {args.resolution}px, pda+inversion+KPL, "
         f"ckpt_every={args.checkpointing_steps}, "
@@ -530,20 +560,71 @@ def bench_e2e(args):
         "unit": "s",
         # >= 1.0 means the <120 s-per-250-steps north star is met.
         "vs_baseline": round(target / wall, 4) if ok else 0.0,
+        "extra": run,
+    }
+
+
+def bench_sweep2(args):
+    """Cross-instance compile reuse ON THE REAL CHIP (VERDICT r3 #4b):
+    two back-to-back flagship runs with DIFFERENT instance/initializer
+    tokens sharing one FRESH persistent compile cache.  The train step's
+    lowered HLO is byte-identical across instances (data-dependent
+    scalars ride `frozen`; tests/test_compile_reuse.py proves the hash),
+    so instance 1 pays the cold XLA compile and instance 2 must hit the
+    cache: its step-AOT wait collapses.  Because the tunneled relay keeps
+    its OWN server-side compile cache (which a local fresh dir cannot
+    clear), the primary on-chip identity evidence is the logged step-HLO
+    fingerprint: both instances must log the SAME hash (train/aot.py).
+    Reported value = instance 2's time-to-first-step; vs_baseline =
+    instance1/instance2 time-to-first-step ratio (>1 when instance 2
+    rides instance 1's compiles; ~1 when the relay cache was already
+    warm for both — the fingerprint match still proves reuse)."""
+    import tempfile
+
+    cache_dir = tempfile.mkdtemp(prefix="jax_sweep2_cache_")
+    runs = []
+    for tok, init in ((args.instance_token, args.initializer_token),
+                      ("<sweep2b>", "cat")):
+        runs.append(_run_flagship_cli(args, instance_token=tok,
+                                      initializer_token=init,
+                                      cache_dir=cache_dir))
+    ok = all(r["ok"] for r in runs)
+
+    def _ttfs(run):
+        b = run["phase_budget"]
+        setup = max((v for k, v in b.items() if k.startswith("setup_")),
+                    default=0.0)
+        return setup + b.get("step_aot_wait_s", 0.0) + b.get(
+            "first_step_dispatch_s", 0.0)
+
+    fp1 = runs[0]["phase_budget"].get("step_hlo_fingerprint")
+    fp2 = runs[1]["phase_budget"].get("step_hlo_fingerprint")
+    return {
+        "metric": "sweep2_instance2_time_to_first_step_s "
+        f"({args.preset}, {args.steps} steps, fresh shared compile cache)",
+        "value": round(_ttfs(runs[1]), 1) if ok else 0.0,
+        "unit": "s",
+        "vs_baseline": round(_ttfs(runs[0]) / max(_ttfs(runs[1]), 0.1), 2)
+        if ok else 0.0,
         "extra": {
-            "returncode": proc.returncode,
-            "checkpoints_written": n_ckpts,
-            "validation_grids_written": n_val,
-            "checkpoint_mb_total": round(ckpt_bytes / 1e6, 1),
-            "phase_budget": _phase_budget(out_dir),
-            "tail": proc.stdout[-300:] if ok else (proc.stderr[-300:]),
+            "step_hlo_fingerprints_match": bool(fp1 and fp1 == fp2),
+            "step_hlo_fingerprint": fp1,
+            "instance1": {"wall_s": round(runs[0]["wall"], 1),
+                          "time_to_first_step_s": round(_ttfs(runs[0]), 1),
+                          "phase_budget": runs[0]["phase_budget"]},
+            "instance2": {"wall_s": round(runs[1]["wall"], 1),
+                          "time_to_first_step_s": round(_ttfs(runs[1]), 1),
+                          "phase_budget": runs[1]["phase_budget"]},
+            "tail": runs[1]["tail"] if ok else
+            (runs[0]["tail"], runs[1]["tail"]),
         },
     }
 
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--mode", choices=["train", "sample", "e2e", "parts"],
+    parser.add_argument("--mode",
+                        choices=["train", "sample", "e2e", "parts", "sweep2"],
                         default="train")
     parser.add_argument("--steps", type=int, default=250,
                         help="e2e mode: train steps")
@@ -592,7 +673,7 @@ def main():
     # emit the failure JSON and exit instead.  Tunable/disable via
     # TEXTBOOST_BENCH_WATCHDOG_S (0 disables).  e2e gets a longer default
     # so the child's own 3600 s timeout stays reachable.
-    default_wd = "3900" if args.mode == "e2e" else "2700"
+    default_wd = {"e2e": "3900", "sweep2": "7800"}.get(args.mode, "2700")
     watchdog_s = int(os.environ.get("TEXTBOOST_BENCH_WATCHDOG_S", default_wd))
     if watchdog_s > 0:
         import threading
@@ -619,7 +700,8 @@ def main():
 
     try:
         result = {"train": bench_train, "sample": bench_sample,
-                  "e2e": bench_e2e, "parts": bench_parts}[args.mode](args)
+                  "e2e": bench_e2e, "parts": bench_parts,
+                  "sweep2": bench_sweep2}[args.mode](args)
     except Exception as e:  # noqa: BLE001 — bench must always emit one line
         result = {
             "metric": f"bench_{args.mode}_failed",

@@ -233,7 +233,22 @@ def _compile_step(cfg, spec, vocab_size, first_added_id, mesh, dtype) -> Any:
     }
 
     jit_step = jax.jit(raw_step, donate_argnums=(0,), out_shardings=(rep, rep))
-    compiled = jit_step.lower(state_abs, batch_abs, frozen_abs).compile()
+    lowered = jit_step.lower(state_abs, batch_abs, frozen_abs)
+    # Fingerprint the lowered program so two runs can PROVE they compiled
+    # the same step (cross-instance compile reuse, the sweep-throughput
+    # claim): instance tokens/initializers ride `frozen` as traced values,
+    # so different instances must log identical fingerprints.  bench.py
+    # --mode sweep2 asserts this from the training.log of two real runs.
+    try:
+        proto = lowered.compiler_ir("hlo").as_serialized_hlo_module_proto()
+        import hashlib
+
+        logger.info(
+            "step AOT: HLO fingerprint %s", hashlib.sha256(proto).hexdigest()[:16]
+        )
+    except Exception:  # noqa: BLE001 — diagnostics only
+        pass
+    compiled = lowered.compile()
     logger.info("step AOT: compiled in background")
     return compiled
 
