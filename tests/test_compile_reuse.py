@@ -157,3 +157,38 @@ def test_sampler_hlo_identical_across_instances(image_root, tmp_path):
         "validation-sampler HLO differs across instances — a data-dependent "
         "value leaked into the traced sampler program"
     )
+
+
+def test_compile_step_logs_identical_hlo_fingerprint(image_root, tmp_path,
+                                                     caplog):
+    """The AOT thread logs a sha256 fingerprint of the lowered step HLO
+    (train/aot.py::_compile_step) so two REAL runs can prove on-chip
+    program identity from their training.logs alone (bench.py --mode
+    sweep2 parses the line).  Assert the line's format and that two
+    different-instance configs log the same hash."""
+    import logging
+    import re
+
+    from textboost_tpu.train.aot import _compile_step
+
+    fps = []
+    for inst, init, sub in (("dog", "dog", "fa"), ("cat", "toy", "fb")):
+        t = _trainer(image_root, tmp_path / sub, inst, init)
+        t.train_loader.stop(); t.prior_loader.stop()
+        with caplog.at_level(logging.INFO, logger="textboost_tpu"):
+            caplog.clear()
+            compiled = _compile_step(
+                t.config, t.bundle.spec, len(t.tokenizer),
+                t.first_added_id, t.mesh, t.weight_dtype,
+            )
+        assert compiled is not None
+        lines = [r.getMessage() for r in caplog.records
+                 if "HLO fingerprint" in r.getMessage()]
+        assert len(lines) == 1, "exactly one fingerprint line per compile"
+        m = re.search(r"step AOT: HLO fingerprint ([0-9a-f]{16})$", lines[0])
+        assert m, f"unparseable fingerprint line: {lines[0]!r}"
+        fps.append(m.group(1))
+    assert fps[0] == fps[1], (
+        "step HLO fingerprint differs across instances — a data-dependent "
+        "value leaked out of `frozen` into the traced program"
+    )

@@ -240,12 +240,18 @@ def _compile_step(cfg, spec, vocab_size, first_added_id, mesh, dtype) -> Any:
     # so different instances must log identical fingerprints.  bench.py
     # --mode sweep2 asserts this from the training.log of two real runs.
     try:
-        proto = lowered.compiler_ir("hlo").as_serialized_hlo_module_proto()
+        # Hash the stablehlo TEXT, not the serialized module proto: the
+        # proto embeds a process-unique module id, so even byte-identical
+        # programs hash differently.  The text is canonical — the
+        # compile-reuse tests prove it instance-invariant.
         import hashlib
 
+        text = lowered.as_text()
         logger.info(
-            "step AOT: HLO fingerprint %s", hashlib.sha256(proto).hexdigest()[:16]
+            "step AOT: HLO fingerprint %s",
+            hashlib.sha256(text.encode()).hexdigest()[:16],
         )
+        del text
     except Exception:  # noqa: BLE001 — diagnostics only
         pass
     compiled = lowered.compile()
