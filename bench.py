@@ -280,14 +280,18 @@ def bench_parts(args):
         # components summed this way match the full-step program's count),
         # so the body count IS the per-iteration figure — no /N.
         flops_of[name] = _cost_flops(compiled)
-        np.asarray(fn(x0, params))  # warmup (compile + execute, fetched)
+        # Execute through the AOT executable: fn(...) would recompile the
+        # same program via jit's dispatch cache (sub-120 s programs are
+        # excluded from the persistent cache — a second full remote
+        # compile per component).
+        np.asarray(compiled(x0, params))  # warmup (executed + fetched)
         if jnp.issubdtype(x0.dtype, jnp.floating):
             x1 = x0 * (1.0 + 1e-3)
         else:
             x1 = jnp.roll(x0, 1, axis=0)
         jax.block_until_ready(x1)
         t0 = time.time()
-        np.asarray(fn(x1, params))  # d2h fetch = true completion barrier
+        np.asarray(compiled(x1, params))  # d2h fetch = true completion barrier
         return (time.time() - t0) / N * 1000.0
 
     def mfu_fields(results):
@@ -358,19 +362,23 @@ def bench_parts(args):
     jit_step, state, batch, frozen = build_train_bench(
         args.preset, b, res, args.lora_rank, remat=args.remat
     )
-    state, m = jit_step(state, batch, frozen)
+    # Lower+compile ONCE and execute through the AOT executable: reading
+    # cost_analysis from a second .lower().compile() after the timing loop
+    # built a whole second train-step executable (tens of seconds through
+    # the relay even on a warm cache).
+    try:
+        compiled_step = jit_step.lower(state, batch, frozen).compile()
+        flops_of["full_step"] = _cost_flops(compiled_step)
+        step_fn = compiled_step
+    except Exception:
+        step_fn = jit_step
+    state, m = step_fn(state, batch, frozen)
     float(m["loss"])  # d2h fetch: true completion barrier
     t0 = time.time()
     for _ in range(10):
-        state, m = jit_step(state, batch, frozen)
+        state, m = step_fn(state, batch, frozen)
     float(m["loss"])
     results["full_step_ms"] = (time.time() - t0) / 10 * 1000.0
-    try:
-        flops_of["full_step"] = _cost_flops(
-            jit_step.lower(state, batch, frozen).compile()
-        )
-    except Exception:
-        pass
 
     return {
         "metric": f"train_step_parts_ms ({args.preset}, bs={b}, {res}px)",
@@ -579,15 +587,26 @@ def bench_sweep2(args):
     instance1/instance2 time-to-first-step ratio (>1 when instance 2
     rides instance 1's compiles; ~1 when the relay cache was already
     warm for both — the fingerprint match still proves reuse)."""
+    import shutil
     import tempfile
 
     cache_dir = tempfile.mkdtemp(prefix="jax_sweep2_cache_")
+    # Instance 2 must actually DIFFER from instance 1 or the reuse demo is
+    # vacuous (same token/initializer would trivially produce the same
+    # program regardless of the design).
+    tok2 = "<sweep2b>" if args.instance_token != "<sweep2b>" else "<sweep2c>"
+    init2 = "cat" if args.initializer_token != "cat" else "dog"
     runs = []
-    for tok, init in ((args.instance_token, args.initializer_token),
-                      ("<sweep2b>", "cat")):
-        runs.append(_run_flagship_cli(args, instance_token=tok,
-                                      initializer_token=init,
-                                      cache_dir=cache_dir))
+    try:
+        for tok, init in ((args.instance_token, args.initializer_token),
+                          (tok2, init2)):
+            runs.append(_run_flagship_cli(args, instance_token=tok,
+                                          initializer_token=init,
+                                          cache_dir=cache_dir))
+    finally:
+        # The fresh cache holds the serialized train-step executables
+        # (hundreds of MB); repeated sweep2 runs must not accumulate them.
+        shutil.rmtree(cache_dir, ignore_errors=True)
     ok = all(r["ok"] for r in runs)
 
     def _ttfs(run):

@@ -33,6 +33,40 @@ def test_pipeline_seed_determinism_and_cfg(pipe):
     assert d.shape == a.shape
 
 
+def test_aot_fallback_semantics(pipe, caplog):
+    """Installed-AOT failure handling: a TypeError (signature mismatch —
+    permanent for the key) drops the executable; any other exception (a
+    transient relay/runtime failure) KEEPS it so later rounds retry the
+    fast path, and this call falls back to plain jit."""
+    import logging
+
+    caplog.set_level(logging.INFO, logger="textboost_tpu")
+    key = (1, 128, 128, 3, True, "dpm++2m")
+    kwargs = dict(num_inference_steps=3, guidance_scale=7.5, seed=3)
+    ref = pipe("a dog", **kwargs)
+
+    def mismatch(*a):
+        raise TypeError("wrong avals")
+
+    pipe.install_aot(key, mismatch)
+    out = pipe("a dog", **kwargs)
+    np.testing.assert_array_equal(out, ref)
+    assert key not in pipe._aot, "signature mismatch must drop the AOT"
+    assert "sampler AOT mismatch" in caplog.text
+
+    caplog.clear()
+
+    def transient(*a):
+        raise RuntimeError("relay hiccup")
+
+    pipe.install_aot(key, transient)
+    out = pipe("a dog", **kwargs)
+    np.testing.assert_array_equal(out, ref)
+    assert key in pipe._aot, "transient failure must keep the AOT"
+    assert "falling back to plain jit for this call" in caplog.text
+    pipe._aot.pop(key, None)
+
+
 def test_pipeline_shared_latent(pipe):
     lat = jax.random.normal(jax.random.PRNGKey(0), (16, 16, 4))
     a = pipe(["a dog", "a cat"], num_inference_steps=3, latents=lat)

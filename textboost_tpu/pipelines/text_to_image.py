@@ -33,6 +33,15 @@ from ..samplers import get_sampler
 logger = logging.getLogger("textboost_tpu")
 
 
+def to_uint8(images: np.ndarray) -> np.ndarray:
+    """[-1,1] float images -> uint8 (the pipeline's output convention).
+
+    Single source of truth for the conversion — the trainer's validation
+    writer uses it on device arrays fetched in the background."""
+    images = np.asarray(images)
+    return ((images + 1.0) * 127.5).round().clip(0, 255).astype(np.uint8)
+
+
 def build_sample_program(spec, text_encoder, unet, vae, schedule, *,
                          steps: int, do_cfg: bool, sampler_name: str,
                          fixed_special: bool):
@@ -256,12 +265,24 @@ class TextToImagePipeline:
         if compiled is not None:
             try:
                 images = compiled(*args)
-            except Exception as e:  # noqa: BLE001 — jit fallback
+            except TypeError as e:
+                # Signature mismatch: the AOT executable was lowered for
+                # different shapes/shardings. Permanent for this key — drop it.
                 logger.info(
                     "sampler AOT mismatch for %s (%s); using plain jit",
                     key, repr(e)[:200],
                 )
                 self._aot.pop(key, None)
+            except Exception as e:  # noqa: BLE001 — transient runtime failure
+                # e.g. a degraded-relay execution error.  Keep the executable
+                # (the next round should retry it — recompiling via the jit
+                # fallback would put a ~65-75 s sampler compile on the loop
+                # clock) and fall back for this call only.
+                logger.warning(
+                    "sampler AOT execution failed for %s (%s); "
+                    "falling back to plain jit for this call",
+                    key, repr(e)[:200],
+                )
         if images is None:
             images = self._sample_fn(*key)(*args)
         if output_type == "device":
@@ -271,7 +292,7 @@ class TextToImagePipeline:
             return images
         images = np.asarray(images)
         if output_type == "uint8":
-            return ((images + 1.0) * 127.5).round().clip(0, 255).astype(np.uint8)
+            return to_uint8(images)
         return images
 
     # ------------------------------------------------------------------

@@ -286,20 +286,31 @@ def validation_signature(cfg, spec):
     return (batch, res, res, 25, True, cfg.validation_scheduler)
 
 
+def validation_mesh_ok(cfg, spec, mesh) -> bool:
+    """Whether the validation batch can shard over `mesh`'s dp axis.
+
+    The SINGLE sharding-envelope predicate shared by launch_sampler_aot
+    (what the AOT executable is lowered for) and trainer._validation_mesh
+    (what the cached pipeline shards over) — one definition so the two can
+    never diverge and hand the pipeline a mesh the executable wasn't
+    compiled for."""
+    sig = validation_signature(cfg, spec)
+    return (
+        sig is not None
+        and cfg.mesh_tp <= 1
+        and jax.process_count() == 1
+        and sig[0] % mesh.shape["dp"] == 0
+    )
+
+
 def launch_sampler_aot(cfg, spec, *, vocab_size: int, mesh, dtype,
                        allow_cpu: bool = False) -> Optional[StepAot]:
     """Background-compile the validation sampler; None when validation is
     off or the configuration is outside the supported envelope (the
     pipeline then compiles lazily at round 1, as before)."""
     sig = validation_signature(cfg, spec)
-    if sig is None:
-        return None
-    batch = sig[0]
-    if (
-        cfg.mesh_tp > 1
-        or jax.process_count() > 1
-        or batch % mesh.shape["dp"] != 0
-        or (jax.default_backend() != "tpu" and not allow_cpu)
+    if not validation_mesh_ok(cfg, spec, mesh) or (
+        jax.default_backend() != "tpu" and not allow_cpu
     ):
         return None
 

@@ -967,19 +967,12 @@ class Trainer:
         """The mesh the validation pipeline shards its generation batch
         over — None (replicated single-device semantics) when the batch
         doesn't divide dp or the config is outside the sampler-AOT
-        envelope.  MUST stay consistent with aot.launch_sampler_aot's
-        gating: the AOT executable is lowered for exactly these
-        shardings."""
-        from .aot import validation_signature
+        envelope.  Consistency with aot.launch_sampler_aot's gating (the
+        AOT executable is lowered for exactly these shardings) is
+        structural: both consume aot.validation_mesh_ok."""
+        from .aot import validation_mesh_ok
 
-        cfg = self.config
-        sig = validation_signature(cfg, self.bundle.spec)
-        if (
-            sig is None
-            or cfg.mesh_tp > 1
-            or jax.process_count() > 1
-            or sig[0] % self.mesh.shape["dp"]
-        ):
+        if not validation_mesh_ok(self.config, self.bundle.spec, self.mesh):
             return None
         return self.mesh
 
@@ -1052,6 +1045,11 @@ class Trainer:
         self._val_threads = []
         for t in threads:
             t.join(timeout)
+            if t.is_alive():
+                logger.warning(
+                    "validation writer %s did not finish within %.0fs — "
+                    "its validation grid may be missing", t.name, timeout
+                )
             exc = getattr(t, "exception", None)
             if exc is not None:
                 raise RuntimeError(f"validation writer {t.name} failed") from exc
@@ -1067,6 +1065,12 @@ class Trainer:
         logging run on a daemon thread joined (with failure propagation)
         at the end of train()."""
         cfg = self.config
+        if not blocking:
+            # Depth-1 writer pipeline (same rationale as save()): at most one
+            # outstanding round, so a degraded tunnel can't pile up threads
+            # each pinning a ~MB-scale device image batch.  Rounds are >=
+            # validation_steps apart, so a healthy join is instant.
+            self.join_validation_writers()
         pipe = self._validation_pipe()
         prompts = self.validation_prompt_list()
         logger.info("Running validation with prompts: %s", prompts)
@@ -1085,10 +1089,9 @@ class Trainer:
         def _write():
             from PIL import Image
 
-            images = np.asarray(images_dev)
-            images = (
-                ((images + 1.0) * 127.5).round().clip(0, 255).astype(np.uint8)
-            )
+            from ..pipelines.text_to_image import to_uint8
+
+            images = to_uint8(images_dev)
             rows = [
                 np.concatenate(list(images[r : r + n]), axis=1)
                 for r in range(0, len(prompts), n)
