@@ -15,8 +15,6 @@ subprocess per instance like the reference.
 import argparse
 import os
 import shutil
-import subprocess
-import sys
 
 # (subject_name, class, initializer token prefix) — run_textboost_db.py:8-39.
 INSTANCES = [
@@ -179,19 +177,14 @@ def main(args):
         )
         return
 
+    from textboost_tpu.utils.sweep import run_job
+
     for name, cls, init_token in instances:
         cmd = build_cmd(args, name, cls, init_token, outdir)
         print(f"=== {name}: train_textboost.py {' '.join(cmd)}")
         if args.dry_run:
             continue
-        if args.sequential:
-            sys.argv = ["train_textboost.py"] + cmd
-            import train_textboost
-
-            train_textboost.main(cmd)
-        else:
-            subprocess.run([sys.executable, script] + cmd, check=False)
-
+        run_job(cmd, script, sequential=args.sequential)
         archive(name, cmd)
 
 

@@ -7,8 +7,6 @@ and a per-style caption template used verbatim as --template.
 """
 import argparse
 import os
-import subprocess
-import sys
 
 # (subject_name, per-style template, initializer token) — run_textboost_sdrp.py:7-33.
 INSTANCES = [
@@ -139,17 +137,13 @@ def run_jobs(args, instances, outdir, model):
             jobs, args.parallel, script, outdir, archive, dry_run=args.dry_run
         )
         return
+    from textboost_tpu.utils.sweep import run_job
+
     for name, cmd in jobs:
         print(f"=== {name}: train_textboost.py {' '.join(cmd)}")
         if args.dry_run:
             continue
-        if getattr(args, "sequential", False):
-            sys.argv = ["train_textboost.py"] + cmd
-            import train_textboost
-
-            train_textboost.main(cmd)
-        else:
-            subprocess.run([sys.executable, script] + cmd, check=False)
+        run_job(cmd, script, sequential=getattr(args, "sequential", False))
         archive(name, cmd)
 
 

@@ -62,9 +62,16 @@ def test_aot_fallback_semantics(pipe, caplog):
     pipe.install_aot(key, transient)
     out = pipe("a dog", **kwargs)
     np.testing.assert_array_equal(out, ref)
-    assert key in pipe._aot, "transient failure must keep the AOT"
+    assert key in pipe._aot, "one transient failure must keep the AOT"
     assert "falling back to plain jit for this call" in caplog.text
-    pipe._aot.pop(key, None)
+
+    # A second CONSECUTIVE failure is no longer treated as transient (a
+    # sharding/device mismatch raises a non-TypeError every call): drop.
+    out = pipe("a dog", **kwargs)
+    np.testing.assert_array_equal(out, ref)
+    assert key not in pipe._aot, "second consecutive failure must drop it"
+    assert "failed 2 consecutive calls" in caplog.text
+    assert pipe._aot_failures == {}, "drop must clear the failure counter"
 
 
 def test_pipeline_shared_latent(pipe):

@@ -32,37 +32,21 @@ def _flat(params):
     )
 
 
-def export_lora_adapter(
-    params,
+def _write_peft_adapter(
+    tensors: Dict[str, np.ndarray],
     out_dir: str,
     rank: int,
-    alpha: float = None,
-    base_model_name: str = "",
-    target_modules: Sequence[str] = ("q_proj", "k_proj", "v_proj"),
+    alpha: float,
+    base_model_name: str,
+    target_modules: Sequence[str],
 ) -> str:
-    """Write a PEFT-compatible LoRA adapter directory from Flax params."""
+    """Shared adapter-dir writer: safetensors + the PEFT adapter_config.json
+    fields both exporters must agree on (a consumer's `load_adapter` reads
+    r/alpha/targets from here)."""
     os.makedirs(out_dir, exist_ok=True)
-    flat = _flat(params)
-    tensors: Dict[str, np.ndarray] = {}
-    for key, val in flat.items():
-        # key like ('layers_3', 'self_attn', 'q_proj', 'lora_a')
-        if key[-1] not in ("lora_a", "lora_b"):
-            continue
-        layer = key[0].split("_")[-1]
-        proj = key[-2]
-        arr = np.asarray(val, dtype=np.float32)
-        if key[-1] == "lora_a":
-            name = f"{PEFT_PREFIX}.{layer}.self_attn.{proj}.lora_A.weight"
-            arr = arr.T  # [in, r] -> [r, in]
-        else:
-            name = f"{PEFT_PREFIX}.{layer}.self_attn.{proj}.lora_B.weight"
-            arr = arr.T  # [r, out] -> [out, r]
-        tensors[name] = np.ascontiguousarray(arr)
-
     from safetensors.numpy import save_file
 
     save_file(tensors, os.path.join(out_dir, "adapter_model.safetensors"))
-
     config = {
         "peft_type": "LORA",
         "auto_mapping": None,
@@ -81,6 +65,37 @@ def export_lora_adapter(
     with open(os.path.join(out_dir, "adapter_config.json"), "w") as f:
         json.dump(config, f, indent=2)
     return out_dir
+
+
+def export_lora_adapter(
+    params,
+    out_dir: str,
+    rank: int,
+    alpha: float = None,
+    base_model_name: str = "",
+    target_modules: Sequence[str] = ("q_proj", "k_proj", "v_proj"),
+) -> str:
+    """Write a PEFT-compatible LoRA adapter directory from Flax params."""
+    flat = _flat(params)
+    tensors: Dict[str, np.ndarray] = {}
+    for key, val in flat.items():
+        # key like ('layers_3', 'self_attn', 'q_proj', 'lora_a')
+        if key[-1] not in ("lora_a", "lora_b"):
+            continue
+        layer = key[0].split("_")[-1]
+        proj = key[-2]
+        arr = np.asarray(val, dtype=np.float32)
+        if key[-1] == "lora_a":
+            name = f"{PEFT_PREFIX}.{layer}.self_attn.{proj}.lora_A.weight"
+            arr = arr.T  # [in, r] -> [r, in]
+        else:
+            name = f"{PEFT_PREFIX}.{layer}.self_attn.{proj}.lora_B.weight"
+            arr = arr.T  # [r, out] -> [out, r]
+        tensors[name] = np.ascontiguousarray(arr)
+
+    return _write_peft_adapter(
+        tensors, out_dir, rank, alpha, base_model_name, target_modules
+    )
 
 
 def import_lora_adapter(params, adapter_dir: str):
@@ -147,7 +162,6 @@ def export_unet_lora_adapter(
     PEFT layout as the text-encoder adapter, keyed by diffusers module
     paths (attn2.to_k/to_v, the reference's LoraConfig target_modules at
     train_textboost.py:712-721)."""
-    os.makedirs(out_dir, exist_ok=True)
     tensors: Dict[str, np.ndarray] = {}
     for key, val in lora_flat.items():
         if key[-1] not in ("lora_a", "lora_b"):
@@ -158,27 +172,10 @@ def export_unet_lora_adapter(
         arr = np.ascontiguousarray(np.asarray(val, dtype=np.float32).T)
         tensors[f"{UNET_PEFT_PREFIX}.{module}.lora_{ab}.weight"] = arr
 
-    from safetensors.numpy import save_file
-
-    save_file(tensors, os.path.join(out_dir, "adapter_model.safetensors"))
-    config = {
-        "peft_type": "LORA",
-        "auto_mapping": None,
-        "base_model_name_or_path": base_model_name,
-        "task_type": None,
-        "inference_mode": True,
-        "r": rank,
-        "lora_alpha": alpha if alpha is not None else rank,
-        "lora_dropout": 0.0,
-        "fan_in_fan_out": False,
-        "bias": "none",
-        "init_lora_weights": "gaussian",
-        "target_modules": ["attn2.to_k", "attn2.to_v"],
-        "modules_to_save": None,
-    }
-    with open(os.path.join(out_dir, "adapter_config.json"), "w") as f:
-        json.dump(config, f, indent=2)
-    return out_dir
+    return _write_peft_adapter(
+        tensors, out_dir, rank, alpha, base_model_name,
+        ("attn2.to_k", "attn2.to_v"),
+    )
 
 
 def import_unet_lora_adapter(unet_params, adapter_dir: str):

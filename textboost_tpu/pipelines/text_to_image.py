@@ -273,16 +273,34 @@ class TextToImagePipeline:
                     key, repr(e)[:200],
                 )
                 self._aot.pop(key, None)
-            except Exception as e:  # noqa: BLE001 — transient runtime failure
-                # e.g. a degraded-relay execution error.  Keep the executable
-                # (the next round should retry it — recompiling via the jit
-                # fallback would put a ~65-75 s sampler compile on the loop
-                # clock) and fall back for this call only.
-                logger.warning(
-                    "sampler AOT execution failed for %s (%s); "
-                    "falling back to plain jit for this call",
-                    key, repr(e)[:200],
-                )
+            except Exception as e:  # noqa: BLE001 — runtime failure
+                # Possibly transient (a degraded-relay execution error):
+                # keep the executable so the next round retries the fast
+                # path — recompiling via the jit fallback would put a
+                # ~65-75 s sampler compile on the loop clock.  But not all
+                # non-TypeError failures are transient (an input-sharding
+                # or device mismatch raises XlaRuntimeError every time), so
+                # cap the retries: after a second consecutive failure the
+                # executable is dropped for good.
+                fails = getattr(self, "_aot_failures", {})
+                self._aot_failures = fails
+                fails[key] = fails.get(key, 0) + 1
+                if fails[key] >= 2:
+                    logger.warning(
+                        "sampler AOT for %s failed %d consecutive calls "
+                        "(%s); dropping it — later rounds use plain jit",
+                        key, fails[key], repr(e)[:200],
+                    )
+                    self._aot.pop(key, None)
+                    fails.pop(key, None)
+                else:
+                    logger.warning(
+                        "sampler AOT execution failed for %s (%s); "
+                        "falling back to plain jit for this call",
+                        key, repr(e)[:200],
+                    )
+        if images is not None:
+            getattr(self, "_aot_failures", {}).pop(key, None)
         if images is None:
             images = self._sample_fn(*key)(*args)
         if output_type == "device":

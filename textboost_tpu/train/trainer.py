@@ -1065,6 +1065,13 @@ class Trainer:
         logging run on a daemon thread joined (with failure propagation)
         at the end of train()."""
         cfg = self.config
+        if jax.process_index() != 0:
+            # Same gating as checkpoints: one writer, one grid.  Safe to
+            # return early — multi-process runs are outside the sampler-AOT
+            # envelope (aot.validation_mesh_ok), so the pipeline samples on
+            # process-local devices with no cross-process collectives for
+            # the other ranks to miss.
+            return None
         if not blocking:
             # Depth-1 writer pipeline (same rationale as save()): at most one
             # outstanding round, so a degraded tunnel can't pile up threads

@@ -60,3 +60,19 @@ def launch_waves(
                 )
             archive(name, cmd)
     return failed
+
+
+def run_job(cmd: List[str], script: str, *, sequential: bool) -> None:
+    """Run ONE training job — shared by both sweep runners' non-wave paths.
+
+    sequential=True runs in-process (train_textboost.main parses the
+    explicit argv list; sys.argv is never touched), sharing this process's
+    TPU client, first-sync tax, and jit caches across instances;
+    sequential=False isolates each instance in a subprocess like the
+    reference's per-instance torchrun (run_textboost_db.py:106-111)."""
+    if sequential:
+        import train_textboost
+
+        train_textboost.main(cmd)
+    else:
+        subprocess.run([sys.executable, script] + cmd, check=False)
