@@ -230,10 +230,90 @@ class PrefetchLoader:
                 self._thread = threading.Thread(target=self._produce, daemon=True)
                 self._thread.start()
         while True:
-            yield self._queue.get()
+            # Bounded get so a consumer thread (e.g. DeviceBatchPrefetcher)
+            # unblocks and ends cleanly once stop() is called; in-flight
+            # batches still drain first.
+            try:
+                yield self._queue.get(timeout=0.5)
+            except queue.Empty:
+                if self._stop.is_set():
+                    return
 
     def stop(self):
         self._stop.set()
         for p in self._procs:
             p.terminate()
         self._procs = []
+
+
+class DeviceBatchPrefetcher:
+    """Device-resident batch ring: dispatches host->device transfers up to
+    `depth` batches ahead of consumption.
+
+    The train loop's one-ahead async ``device_put`` only hides a transfer
+    that is FASTER than the device step.  Through the tunneled relay the
+    per-step batch (~6.3 MB uint8 at bs8/512px) can exceed the step time
+    when bandwidth degrades (measured: loop windows at 475-830 ms/step
+    against a 226 ms device step, CLAUDE.md r4 addendum).  Dispatching K
+    transfers ahead — started at the END of Trainer setup, so the early
+    ones ride the tunnel during the compile-dominated setup window (step
+    AOT wait, first-sync tax) — builds headroom the loop then consumes:
+    the tunnel stays busy continuously instead of racing each step.
+
+    Single-process only: cross-process batch assembly
+    (``make_array_from_process_local_data``) is collective-ordered and must
+    stay on the main thread (see assemble_global_batch).
+
+    Counterpart of the reference's DataLoader pin_memory/non_blocking
+    prefetch (train_textboost.py:886-909) — except the reference's device
+    is local, so one-ahead suffices there.
+    """
+
+    def __init__(self, fetch_host: Callable, to_device: Callable, depth: int):
+        self._fetch_host = fetch_host
+        self._to_device = to_device
+        # The queue bounds in-flight transfers (host buffers pinned by the
+        # runtime until each lands, plus the device-side HBM for the ring).
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> "DeviceBatchPrefetcher":
+        assert self._thread is None, "already started"
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def _run(self):
+        try:
+            while not self._stop.is_set():
+                dev = self._to_device(self._fetch_host())
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(dev, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # noqa: BLE001 — re-raised on next()
+            self._error = e
+
+    def next(self):
+        """Pop the next device batch (blocks if the producer is behind);
+        re-raises any producer failure on the caller's thread — but only
+        after already-transferred batches have drained."""
+        while True:
+            try:
+                return self._queue.get_nowait()
+            except queue.Empty:
+                pass
+            if self._error is not None:
+                raise self._error
+            try:
+                return self._queue.get(timeout=0.5)
+            except queue.Empty:
+                if self._thread is not None and not self._thread.is_alive():
+                    raise RuntimeError("device prefetcher thread died")
+
+    def stop(self):
+        self._stop.set()

@@ -104,6 +104,12 @@ class TrainConfig:
     mesh_dp: Optional[int] = None
     mesh_tp: int = 1
     attention_impl: str = "auto"
+    # Depth of the device-resident batch ring (data/loader.py::
+    # DeviceBatchPrefetcher): h2d transfers are dispatched this many steps
+    # ahead so a slow tunnel never starves the loop (bs8/512px batch is
+    # ~6.3 MB = ~200 MB of HBM at the default).  0 restores the inline
+    # one-ahead device_put.  Single-process only; ignored on multi-host.
+    device_prefetch_batches: int = 32
     profile_dir: Optional[str] = None
     null_embedding_path: Optional[str] = None  # reference .pt asset format
 

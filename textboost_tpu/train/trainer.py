@@ -675,6 +675,25 @@ class Trainer:
             else:
                 logger.info("No checkpoint found at %s; starting fresh", path)
 
+        # Device-resident batch ring: started at the END of setup (resume
+        # offsets applied above) so its h2d transfers ride the tunnel during
+        # the step-AOT wait / first-sync tax in train() — a degraded tunnel
+        # then draws the ring down instead of starving the loop (CLAUDE.md
+        # r4 addendum: 6.3 MB/step at <15 MB/s exceeds the 226 ms step).
+        # Multi-host keeps the inline path: global-batch assembly is
+        # collective-ordered across processes.
+        self._prefetcher = None
+        if jax.process_count() == 1 and cfg.device_prefetch_batches > 0:
+            from ..data.loader import DeviceBatchPrefetcher
+
+            train_iter = iter(self.train_loader)
+            prior_iter = iter(self.prior_loader)
+            self._prefetcher = DeviceBatchPrefetcher(
+                lambda: (next(train_iter), next(prior_iter)),
+                lambda host: self._device_batch(*host),
+                depth=cfg.device_prefetch_batches,
+            ).start()
+
     # ------------------------------------------------------------------
     def _device_batch(self, batch: Dict, prior_batch: Dict) -> Dict:
         arrays = {
@@ -695,13 +714,23 @@ class Trainer:
             # a raised checkpoint-writer failure or a mid-loop crash must not
             # leave worker processes running when the Trainer is used as a
             # library (stop() is idempotent).
+            if getattr(self, "_prefetcher", None) is not None:
+                self._prefetcher.stop()
             self.train_loader.stop()
             self.prior_loader.stop()
 
     def _train(self) -> Dict[str, float]:
         cfg = self.config
-        train_iter = iter(self.train_loader)
-        prior_iter = iter(self.prior_loader)
+        if self._prefetcher is None:
+            train_iter = iter(self.train_loader)
+            prior_iter = iter(self.prior_loader)
+
+        def fetch_batch():
+            # Prefetcher mode: pop a ring batch whose transfer was
+            # dispatched up to device_prefetch_batches steps ago.
+            if self._prefetcher is not None:
+                return self._prefetcher.next()
+            return self._device_batch(next(train_iter), next(prior_iter))
 
         from ..utils.profiling import StepTimer, device_memory_stats
 
@@ -717,7 +746,7 @@ class Trainer:
             "dispatch_ms": 0.0, "host_wait_ms": 0.0, "h2d_ms": 0.0,
             "_step0": self.start_step,
         }
-        next_batch = self._device_batch(next(train_iter), next(prior_iter))
+        next_batch = fetch_batch()
         if getattr(self, "_step_aot", None) is not None:
             t_wait = time.perf_counter()
             compiled = self._step_aot.result()
@@ -740,9 +769,7 @@ class Trainer:
                         time.perf_counter() - t0,
                     )
                     self.state = state
-                    next_batch = self._device_batch(
-                        next(train_iter), next(prior_iter)
-                    )
+                    next_batch = fetch_batch()
                     step += 1
                     timer.tick()
                     self.train_step = compiled
@@ -787,9 +814,15 @@ class Trainer:
                         "first step dispatch (compile/cache-load): %.1fs",
                         t1 - t0,
                     )
-                host = (next(train_iter), next(prior_iter))
-                t2 = time.perf_counter()
-                next_batch = self._device_batch(*host)
+                if self._prefetcher is not None:
+                    # Ring pop: host production AND transfer dispatch ran
+                    # ahead; any wait here lands in h2d_ms (the ring drained).
+                    t2 = time.perf_counter()
+                    next_batch = self._prefetcher.next()
+                else:
+                    host = (next(train_iter), next(prior_iter))
+                    t2 = time.perf_counter()
+                    next_batch = self._device_batch(*host)
                 t3 = time.perf_counter()
                 self._loop_t["dispatch_ms"] += (t1 - t0) * 1000
                 self._loop_t["host_wait_ms"] += (t2 - t1) * 1000
