@@ -39,6 +39,146 @@ _CHILDREN = []
 
 TARGET_STEPS_PER_SEC = 250.0 / 120.0  # north-star pace
 
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+# Overridable so tests exercise the sidecar path without touching the
+# repo's real measurement history.
+RESULTS_DIR = os.environ.get(
+    "TEXTBOOST_BENCH_RESULTS_DIR", os.path.join(_REPO_ROOT, "bench_results"))
+
+
+def _emit(result, *, mode="train", kind="final"):
+    """Print one JSON result line (flushed) and persist a machine-readable
+    sidecar under bench_results/ (VERDICT r4 #9).  The driver parses the
+    LAST JSON line on stdout, so provisional lines printed earlier are
+    harmlessly superseded by later, better ones — and if the driver's own
+    timeout kills the process mid-run, whatever printed last still parses
+    (VERDICT r4 #1: BENCH_rNN.json must never be empty again)."""
+    print(json.dumps(result), flush=True)
+    try:
+        os.makedirs(RESULTS_DIR, exist_ok=True)
+        rec = {
+            "mode": mode,
+            "kind": kind,
+            "time": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "argv": sys.argv[1:],
+            "result": result,
+        }
+        # latest_<mode>.json is the last-known-GOOD record: placeholder and
+        # degraded lines must not clobber a real prior measurement.
+        if kind != "startup" and not result.get("extra", {}).get("degraded"):
+            with open(os.path.join(RESULTS_DIR, f"latest_{mode}.json"), "w") as f:
+                json.dump(rec, f, indent=1)
+        if kind == "final":
+            stamp = time.strftime("%Y%m%d_%H%M%S")
+            with open(os.path.join(RESULTS_DIR, f"{mode}_{stamp}.json"), "w") as f:
+                json.dump(rec, f, indent=1)
+    except OSError:
+        pass  # sidecars are best-effort; the stdout line is the contract
+
+
+def _last_known_good(mode="train"):
+    """Best previous measurement for this mode: scan the driver-written
+    BENCH_r*.json artifacts (highest round wins) then the local
+    bench_results sidecars.  Used to make degraded-relay output carry the
+    last real number instead of 0.0 (VERDICT r4 #1a)."""
+    candidates = []
+    try:
+        import glob
+
+        if mode == "train":  # BENCH_r artifacts hold train-mode results only
+            for path in glob.glob(os.path.join(_REPO_ROOT, "BENCH_r*.json")):
+                try:
+                    rec = json.load(open(path))
+                except (OSError, ValueError):
+                    continue
+                parsed = rec.get("parsed")
+                if parsed and parsed.get("value", 0) > 0:
+                    candidates.append(
+                        (rec.get("n", 0), os.path.basename(path), parsed))
+        side = os.path.join(RESULTS_DIR, f"latest_{mode}.json")
+        if os.path.exists(side):
+            rec = json.load(open(side))
+            res = rec.get("result", {})
+            if res.get("value", 0) > 0 and not res.get("extra", {}).get("degraded"):
+                # sidecars postdate every BENCH_r artifact in-round
+                candidates.append((10**6, "bench_results/latest_%s.json" % mode, res))
+    except Exception:
+        pass
+    if not candidates:
+        return None
+    n, src, parsed = max(candidates, key=lambda c: c[0])
+    return {"source": src, "result": parsed}
+
+
+def _degraded_result(mode, reason, lkg, extra=None):
+    """A final-quality JSON line for when measurement is impossible: carries
+    the last-known-good value with an explicit degraded marker + diagnostics
+    so the round still has a parseable, honest artifact."""
+    base = dict(lkg["result"]) if lkg else {
+        "metric": f"bench_{mode}_failed",
+        "value": 0.0,
+        "unit": "error",
+        "vs_baseline": 0.0,
+    }
+    base["extra"] = {
+        **({} if not lkg else dict(lkg["result"].get("extra", {}))),
+        "degraded": True,
+        "degraded_reason": reason[:400],
+        **({"last_known_good_source": lkg["source"]} if lkg else {}),
+        **(extra or {}),
+    }
+    return base
+
+
+_PROBE_CODE = r"""
+import os, sys, time
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+t0 = time.time()
+from textboost_tpu.utils.platform import apply_platform_override
+apply_platform_override()
+import jax, jax.numpy as jnp
+n_dev = len(jax.devices())
+t_init = time.time() - t0
+# Non-trivial enough to need a real compile+execute round trip; odd sized so
+# it never collides with a cached framework program.  float() is the d2h
+# fetch — the only completion barrier the relay honors.
+x = jax.jit(lambda a: (a * a + 1.0).sum())(jnp.arange(997, dtype=jnp.float32))
+want = sum(i * i for i in range(997)) + 997.0
+assert abs(float(x) - want) < 1e-4 * want  # fp32 accumulation tolerance
+print("PROBE_OK devices=%d init_s=%.1f total_s=%.1f"
+      % (n_dev, t_init, time.time() - t0), flush=True)
+"""
+
+
+def _health_probe(timeout_s):
+    """Run a tiny jitted op against the real backend in a SUBPROCESS under a
+    hard timeout (the parent never risks the r3-observed client-init hang).
+    Healthy relay: ~20 s; degraded: 39 s+; outage: blocks forever — the
+    subprocess is killed and the bench reports degraded instead of hanging
+    (VERDICT r4 #1a; CLAUDE.md relay-outage recipe).
+
+    Returns {"ok": bool, "seconds": float, "detail": str}."""
+    import subprocess
+
+    code = os.environ.get("TEXTBOOST_BENCH_PROBE_TEST_CODE") or _PROBE_CODE
+    t0 = time.time()
+    try:
+        # cwd=repo root: PYTHONPATH breaks axon PJRT plugin discovery, the
+        # cwd import path is the only safe way to make the package visible.
+        proc = subprocess.run(
+            [sys.executable, "-c", code], cwd=_REPO_ROOT, timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+        dt = time.time() - t0
+        ok = proc.returncode == 0 and "PROBE_OK" in proc.stdout
+        detail = (proc.stdout.strip().splitlines() or [""])[-1] if ok else (
+            f"rc={proc.returncode}: {proc.stderr.strip()[-300:]}")
+        return {"ok": ok, "seconds": round(dt, 1), "detail": detail}
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "seconds": round(time.time() - t0, 1),
+                "detail": f"probe timed out after {timeout_s}s "
+                "(relay unresponsive)"}
+
 
 class _CompileLog(list):
     """Captures jax's per-program compile logs (--cold breakdown: which
@@ -166,27 +306,45 @@ def bench_train(args):
         state, metrics = jit_step(state, batch, frozen)
     jax.block_until_ready(metrics["loss"])
 
+    def result_for(steps_per_sec, dt, iters, provisional=False):
+        return {
+            "metric": f"train_steps_per_sec_chip ({args.preset}, "
+            f"bs={args.batch_size}, {args.resolution}px, "
+            f"TE LoRA r={args.lora_rank})",
+            "value": round(steps_per_sec, 4),
+            "unit": "steps/s",
+            "vs_baseline": round(steps_per_sec / TARGET_STEPS_PER_SEC, 4),
+            "extra": {
+                "compile_s": round(compile_s, 1),
+                "compile_cache": "cold" if cold else "warm",
+                **({"compile_breakdown": compile_log.breakdown()} if cold else {}),
+                "step_ms": round(1000.0 * dt / iters, 1),
+                "projected_250_steps_s": round(250.0 / steps_per_sec, 1),
+                "loss_finite": bool(jax.numpy.isfinite(metrics["loss"])),
+                **({"provisional": True, "window_iters": iters}
+                   if provisional else {}),
+            },
+        }
+
+    # First short timed window → emit a PROVISIONAL line immediately, so a
+    # driver-side kill between here and the full window still leaves a real
+    # measured number on stdout (VERDICT r4 #1c).
+    prov_iters = min(3, args.iters)
+    t0 = time.time()
+    for _ in range(prov_iters):
+        state, metrics = jit_step(state, batch, frozen)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.time() - t0
+    _emit(result_for(prov_iters / dt, dt, prov_iters, provisional=True),
+          mode="train", kind="provisional")
+
     t0 = time.time()
     for _ in range(args.iters):
         state, metrics = jit_step(state, batch, frozen)
     jax.block_until_ready(metrics["loss"])
     dt = time.time() - t0
     steps_per_sec = args.iters / dt
-    return {
-        "metric": f"train_steps_per_sec_chip ({args.preset}, bs={args.batch_size}, "
-        f"{args.resolution}px, TE LoRA r={args.lora_rank})",
-        "value": round(steps_per_sec, 4),
-        "unit": "steps/s",
-        "vs_baseline": round(steps_per_sec / TARGET_STEPS_PER_SEC, 4),
-        "extra": {
-            "compile_s": round(compile_s, 1),
-            "compile_cache": "cold" if cold else "warm",
-            **({"compile_breakdown": compile_log.breakdown()} if cold else {}),
-            "step_ms": round(1000.0 * dt / args.iters, 1),
-            "projected_250_steps_s": round(250.0 / steps_per_sec, 1),
-            "loss_finite": bool(jax.numpy.isfinite(metrics["loss"])),
-        },
-    }
+    return result_for(steps_per_sec, dt, args.iters)
 
 
 def bench_sample(args):
@@ -707,21 +865,47 @@ def main():
                         help="measure a COLD compile: point the persistent "
                         "cache at a throwaway dir so nothing is reused")
     args = parser.parse_args()
+
+    # ---- un-losable artifact protocol (VERDICT r4 #1) -------------------
+    # 1. BEFORE touching jax or the relay, print a placeholder line carrying
+    #    the last-known-good number: if the DRIVER's own timeout kills this
+    #    process at any later point, stdout already holds a parseable result.
+    lkg = _last_known_good(args.mode)
+    _emit(_degraded_result(
+        args.mode, "bench killed before any measurement completed "
+        "(placeholder printed at startup; later lines supersede this)", lkg,
+        extra={"phase": "startup"}), mode=args.mode, kind="startup")
+
+    # 2. Health-probe the relay from a SUBPROCESS under a hard timeout —
+    #    client init itself has been observed to block >10 min (r3).  On
+    #    failure, report degraded + last-known-good instead of hanging.
+    probe_s = int(os.environ.get("TEXTBOOST_BENCH_PROBE_S", "300"))
+    probe = None
+    if probe_s > 0 and not os.environ.get("TEXTBOOST_BENCH_SELFTEST_HANG"):
+        probe = _health_probe(probe_s)
+        if not probe["ok"]:
+            _emit(_degraded_result(
+                args.mode, f"relay health probe failed: {probe['detail']}",
+                lkg, extra={"phase": "probe", "probe_s": probe["seconds"]}),
+                mode=args.mode)
+            return 0 if (lkg and lkg["result"].get("value", 0) > 0) else 1
+
     if args.cold:
         import tempfile
 
         os.environ["JAX_COMPILATION_CACHE_DIR"] = tempfile.mkdtemp(
             prefix="jax_cold_cache_"
         )
-    _platform_override()
+    if not os.environ.get("TEXTBOOST_BENCH_SELFTEST_HANG"):
+        _platform_override()
 
-    # Watchdog: the tunneled relay's compile service can degrade into a
-    # full hang (observed r3: even TPU client init blocked >10 min).  A
-    # hang would leave the caller with NO output line at its own timeout;
-    # emit the failure JSON and exit instead.  Tunable/disable via
-    # TEXTBOOST_BENCH_WATCHDOG_S (0 disables).  e2e gets a longer default
-    # so the child's own 3600 s timeout stays reachable.
-    default_wd = {"e2e": "3900", "sweep2": "7800"}.get(args.mode, "2700")
+    # 3. Watchdog: kill-and-report well BEFORE any plausible driver budget
+    #    (r4's 2700 s default outlived the driver's timeout and the round's
+    #    artifact came back empty).  Tunable via TEXTBOOST_BENCH_WATCHDOG_S
+    #    (0 disables).  e2e/sweep2 are builder-run modes with longer
+    #    child-process budgets of their own.
+    default_wd = {"e2e": "3900", "sweep2": "7800", "parts": "2400"}.get(
+        args.mode, "1200")
     watchdog_s = int(os.environ.get("TEXTBOOST_BENCH_WATCHDOG_S", default_wd))
     if watchdog_s > 0:
         import threading
@@ -732,34 +916,39 @@ def main():
                     p.kill()
                 except Exception:
                     pass
-            print(json.dumps({
-                "metric": f"bench_{args.mode}_failed",
-                "value": 0.0,
-                "unit": "error",
-                "vs_baseline": 0.0,
-                "extra": {"error": f"watchdog: no result after {watchdog_s}s "
-                          "(TPU relay unresponsive?)"},
-            }), flush=True)
-            os._exit(3)
+            # Re-scan: a mid-run provisional sidecar from THIS run is the
+            # freshest number available and beats any prior round's.
+            now_lkg = _last_known_good(args.mode)
+            result = _degraded_result(
+                args.mode, f"watchdog: no result after {watchdog_s}s "
+                "(TPU relay unresponsive?)", now_lkg,
+                extra={"phase": "watchdog",
+                       **({"probe": probe} if probe else {})})
+            _emit(result, mode=args.mode)
+            os._exit(0 if result.get("value", 0) > 0 else 3)
 
         timer = threading.Timer(watchdog_s, _abort)
         timer.daemon = True
         timer.start()
 
+    if os.environ.get("TEXTBOOST_BENCH_SELFTEST_HANG"):
+        # Test hook (tests/test_bench_emission.py): simulate a hung backend
+        # without touching jax so the watchdog emission path is exercised.
+        while True:
+            time.sleep(1)
+
     try:
         result = {"train": bench_train, "sample": bench_sample,
                   "e2e": bench_e2e, "parts": bench_parts,
                   "sweep2": bench_sweep2}[args.mode](args)
+        if probe:
+            result.setdefault("extra", {})["probe"] = probe
     except Exception as e:  # noqa: BLE001 — bench must always emit one line
-        result = {
-            "metric": f"bench_{args.mode}_failed",
-            "value": 0.0,
-            "unit": "error",
-            "vs_baseline": 0.0,
-            "extra": {"error": f"{type(e).__name__}: {e}"[:400]},
-        }
-    print(json.dumps(result))
-    return 0 if result["value"] > 0 else 1
+        result = _degraded_result(
+            args.mode, f"{type(e).__name__}: {e}", _last_known_good(args.mode),
+            extra={"phase": "exception"})
+    _emit(result, mode=args.mode)
+    return 0 if result.get("value", 0) > 0 else 1
 
 
 if __name__ == "__main__":
