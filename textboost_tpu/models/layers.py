@@ -86,24 +86,32 @@ def group_norm(
 
 
 class ResnetBlock(nn.Module):
-    """GN -> SiLU -> conv3x3 -> (+time) -> GN -> SiLU -> conv3x3 -> +skip."""
+    """GN -> SiLU -> conv3x3 -> (+time) -> GN -> SiLU -> conv3x3 -> +skip.
+
+    `eps`: the UNet's blocks normalize with the model-wide norm_eps (1e-5
+    for the SD family); the VAE's encoder/decoder blocks are built with
+    eps=1e-6 (diffusers AutoencoderKL passes resnet_eps=1e-6 throughout).
+    Verified at activation level vs an independent torch implementation in
+    tests/test_torch_oracle.py.
+    """
 
     out_channels: int
     use_time_emb: bool = True
     num_groups: int = 32
+    eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None):
         in_channels = x.shape[-1]
-        h = group_norm(x, self.num_groups, "norm1", silu=True)
+        h = group_norm(x, self.num_groups, "norm1", eps=self.eps, silu=True)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 jax.nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = group_norm(h, self.num_groups, "norm2", silu=True)
+        h = group_norm(h, self.num_groups, "norm2", eps=self.eps, silu=True)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
             x = nn.Conv(
@@ -113,17 +121,28 @@ class ResnetBlock(nn.Module):
 
 
 class Downsample(nn.Module):
+    """Stride-2 3x3 downsampling conv.
+
+    Padding follows diffusers Downsample2D: the VAE encoder builds it with
+    padding=0 and applies an explicit asymmetric (0,1)x(0,1) pad
+    (`asym_pad=True`); the UNet builds it with downsample_padding=1 —
+    ordinary symmetric padding (`asym_pad=False`).  Using the VAE-style
+    asymmetric pad in the UNet shifts every conv window one pixel off the
+    published weights' training distribution (caught by the torch
+    activation oracle, r5)."""
+
     out_channels: int
+    asym_pad: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        # SD uses asymmetric (0,1) padding on stride-2 downsampling convs.
+        pad = ((0, 1), (0, 1)) if self.asym_pad else ((1, 1), (1, 1))
         return nn.Conv(
             self.out_channels,
             (3, 3),
             strides=(2, 2),
-            padding=((0, 1), (0, 1)),
+            padding=pad,
             dtype=self.dtype,
             name="conv",
         )(x)
@@ -206,7 +225,9 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray):
-        ln = lambda name: nn.LayerNorm(dtype=self.dtype, name=name)
+        # eps=1e-5: torch nn.LayerNorm's default, which the reference stack
+        # inherits (flax's default is 1e-6 — caught by the torch oracle).
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
         x = x + CrossAttention(self.num_heads, self.dtype, name="attn1")(ln("norm1")(x))
         x = x + CrossAttention(
             self.num_heads, self.dtype, kv_lora_rank=self.cross_lora_rank, name="attn2"

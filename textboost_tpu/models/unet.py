@@ -82,7 +82,10 @@ class UNet2DCondition(nn.Module):
                     x = make_attn(level, f"down_{level}_attn_{j}")(x, ctx)
                 skips.append(x)
             if level != num_levels - 1:
-                x = Downsample(out_ch, dtype=self.dtype, name=f"down_{level}_downsample")(x)
+                # downsample_padding=1 (symmetric) in every published SD
+                # UNet config — asym_pad is the VAE-encoder convention only.
+                x = Downsample(out_ch, asym_pad=False, dtype=self.dtype,
+                               name=f"down_{level}_downsample")(x)
                 skips.append(x)
 
         # ------------------------- mid --------------------------

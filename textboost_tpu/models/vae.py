@@ -32,7 +32,7 @@ class Encoder(nn.Module):
             for j in range(cfg.layers_per_block):
                 x = ResnetBlock(
                     out_channels=out_ch,
-                    use_time_emb=False,
+                    use_time_emb=False, eps=1e-6,
                     num_groups=cfg.norm_num_groups,
                     dtype=self.dtype,
                     name=f"down_{level}_resnet_{j}",
@@ -42,12 +42,12 @@ class Encoder(nn.Module):
 
         mid_ch = cfg.block_out_channels[-1]
         x = ResnetBlock(
-            out_channels=mid_ch, use_time_emb=False,
+            out_channels=mid_ch, use_time_emb=False, eps=1e-6,
             num_groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_resnet_0",
         )(x)
         x = VAEAttention(cfg.norm_num_groups, dtype=self.dtype, name="mid_attn")(x)
         x = ResnetBlock(
-            out_channels=mid_ch, use_time_emb=False,
+            out_channels=mid_ch, use_time_emb=False, eps=1e-6,
             num_groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_resnet_1",
         )(x)
 
@@ -69,12 +69,12 @@ class Decoder(nn.Module):
         x = nn.Conv(mid_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
 
         x = ResnetBlock(
-            out_channels=mid_ch, use_time_emb=False,
+            out_channels=mid_ch, use_time_emb=False, eps=1e-6,
             num_groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_resnet_0",
         )(x)
         x = VAEAttention(cfg.norm_num_groups, dtype=self.dtype, name="mid_attn")(x)
         x = ResnetBlock(
-            out_channels=mid_ch, use_time_emb=False,
+            out_channels=mid_ch, use_time_emb=False, eps=1e-6,
             num_groups=cfg.norm_num_groups, dtype=self.dtype, name="mid_resnet_1",
         )(x)
 
@@ -83,7 +83,7 @@ class Decoder(nn.Module):
             out_ch = cfg.block_out_channels[level]
             for j in range(cfg.layers_per_block + 1):
                 x = ResnetBlock(
-                    out_channels=out_ch, use_time_emb=False,
+                    out_channels=out_ch, use_time_emb=False, eps=1e-6,
                     num_groups=cfg.norm_num_groups, dtype=self.dtype,
                     name=f"up_{up_idx}_resnet_{j}",
                 )(x)
