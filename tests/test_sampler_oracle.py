@@ -89,6 +89,56 @@ def dpm_pp_2m_oracle(x, num_steps, prediction_type):
     return x
 
 
+def pndm_oracle(x, num_steps, prediction_type):
+    """PNDM with skip_prk_steps=True (pure PLMS), the SD pipeline config:
+    stateful transcription of the published algorithm (Liu et al. 2022 /
+    diffusers PNDMScheduler semantics) — "leading" grid with steps_offset=1,
+    Heun warm-up restarting from the original sample, 2nd/3rd/4th-order
+    Adams-Bashforth eps combination, DDIM-form state update, terminal
+    boundary alphas_cumprod[0] (set_alpha_to_one=False)."""
+    ac = _alphas_cumprod64()
+    ratio = N_TRAIN // num_steps
+    ts_asc = np.arange(num_steps, dtype=np.int64) * ratio + 1
+    if num_steps > 1:
+        seq = np.concatenate([ts_asc[:-1], ts_asc[-2:-1], ts_asc[-1:]])[::-1]
+    else:
+        seq = ts_asc[::-1]
+    x = x.astype(np.float64)
+    ets = []
+    cur = None
+    for counter, t in enumerate(seq):
+        e = _model_np(x, float(t))
+        sample = x
+        if counter == 1 and num_steps > 1:
+            t_eff, t_prev = int(t) + ratio, int(t)
+            et = (e + ets[-1]) / 2.0
+            sample = cur
+        else:
+            t_eff, t_prev = int(t), int(t) - ratio
+            ets.append(e)
+            if counter == 0:
+                cur = x
+                et = e
+            elif len(ets) == 2:
+                et = (3.0 * ets[-1] - ets[-2]) / 2.0
+            elif len(ets) == 3:
+                et = (23.0 * ets[-1] - 16.0 * ets[-2] + 5.0 * ets[-3]) / 12.0
+            else:
+                et = (
+                    55.0 * ets[-1] - 59.0 * ets[-2] + 37.0 * ets[-3]
+                    - 9.0 * ets[-4]
+                ) / 24.0
+        ap_t = ac[t_eff]
+        ap_prev = ac[t_prev] if t_prev >= 0 else ac[0]
+        if prediction_type == "v_prediction":
+            et = np.sqrt(ap_t) * et + np.sqrt(1.0 - ap_t) * sample
+        denom = ap_t * np.sqrt(1.0 - ap_prev) + np.sqrt(
+            ap_t * (1.0 - ap_t) * ap_prev
+        )
+        x = np.sqrt(ap_prev / ap_t) * sample - (ap_prev - ap_t) / denom * et
+    return x
+
+
 def ddim_oracle(x, num_steps, prediction_type):
     ac = _alphas_cumprod64()
     ratio = N_TRAIN // num_steps
@@ -147,6 +197,22 @@ def test_ddim_matches_closed_form_oracle(num_steps, prediction_type):
     got = _run_repo_sampler("ddim", x, num_steps, prediction_type)
     want = ddim_oracle(x, num_steps, prediction_type)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("prediction_type", ["epsilon", "v_prediction"])
+@pytest.mark.parametrize("num_steps", [1, 2, 3, 5, 25])
+def test_pndm_matches_independent_oracle(num_steps, prediction_type):
+    x = np.random.RandomState(11).randn(2, 4, 4, 4).astype(np.float32)
+    got = _run_repo_sampler("pndm", x, num_steps, prediction_type)
+    want = pndm_oracle(x, num_steps, prediction_type)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-4)
+
+
+def test_pndm_registered_under_reference_class_name():
+    from textboost_tpu.samplers.solvers import SAMPLERS, pndm_sample
+
+    assert SAMPLERS["PNDMScheduler"] is pndm_sample
+    assert SAMPLERS["pndm"] is pndm_sample
 
 
 def test_dpm_timestep_grid_is_diffusers_linspace():

@@ -240,15 +240,124 @@ def ddpm_sample(
     return final
 
 
+# ---------------------------------------------------------------------------
+# PNDM / PLMS — SD1.x pipelines' stock scheduler before the reference swaps
+# in DPM-Solver++ (/root/reference/inference.py:88-90).
+# ---------------------------------------------------------------------------
+def pndm_sample(
+    model_fn: ModelFn,
+    schedule: NoiseSchedule,
+    latents: jnp.ndarray,
+    num_steps: int,
+) -> jnp.ndarray:
+    """PNDM with the SD pipeline configuration: skip_prk_steps=True (pure
+    PLMS: one Heun warm-up correction, then 2nd/3rd/4th-order linear
+    multistep), steps_offset=1 "leading" grid, set_alpha_to_one=False
+    (terminal boundary uses alphas_cumprod[0]).
+
+    The stateful reference algorithm (Liu et al. 2022; diffusers
+    PNDMScheduler semantics) is re-expressed as one `lax.scan`: every
+    per-step scalar (DDIM-form sample/eps coefficients, Adams-Bashforth
+    weights, corrector/append flags) is precomputed on the host, and the
+    eps history rides the carry as a 3-slot shift register.  num_steps>1
+    costs num_steps+1 model calls (the PLMS warm-up re-evaluates the
+    second grid point), exactly like the reference scheduler.  Oracle:
+    tests/test_sampler_oracle.py::test_pndm_matches_independent_oracle.
+    """
+    n_train = schedule.num_train_timesteps
+    ratio = n_train // num_steps
+    ts_asc = np.arange(num_steps, dtype=np.int64) * ratio + 1  # steps_offset=1
+    if num_steps > 1:
+        seq = np.concatenate([ts_asc[:-1], ts_asc[-2:-1], ts_asc[-1:]])[::-1]
+    else:
+        seq = ts_asc[::-1]
+    n_total = len(seq)
+
+    ac = np.asarray(schedule.alphas_cumprod, np.float64)
+    final_ac = ac[0]  # set_alpha_to_one=False
+
+    samp_c = np.zeros(n_total)
+    coef_e = np.zeros(n_total)
+    a_eff = np.zeros(n_total)
+    s_eff = np.zeros(n_total)
+    w = np.zeros((n_total, 4))
+    use_cur = np.zeros(n_total, dtype=bool)
+    do_append = np.zeros(n_total, dtype=bool)
+    do_store = np.zeros(n_total, dtype=bool)
+    do_store[0] = True  # snapshot the original sample for the warm-up corrector
+    n_hist = 0
+    for i, t in enumerate(seq):
+        warmup_corrector = i == 1 and num_steps > 1
+        if warmup_corrector:
+            t_eff, t_prev = t + ratio, int(t)
+            w[i, :2] = 0.5  # Heun average with the first prediction
+            use_cur[i] = True  # step re-starts from the ORIGINAL sample
+        else:
+            t_eff, t_prev = int(t), int(t) - ratio
+            do_append[i] = True
+            n_hist += 1
+            if n_hist == 1:
+                w[i, 0] = 1.0
+            elif n_hist == 2:
+                w[i, :2] = (3.0 / 2.0, -1.0 / 2.0)
+            elif n_hist == 3:
+                w[i, :3] = (23.0 / 12.0, -16.0 / 12.0, 5.0 / 12.0)
+            else:
+                w[i] = (55.0 / 24.0, -59.0 / 24.0, 37.0 / 24.0, -9.0 / 24.0)
+        ap_t = ac[t_eff]
+        ap_prev = ac[t_prev] if t_prev >= 0 else final_ac
+        samp_c[i] = np.sqrt(ap_prev / ap_t)
+        denom = ap_t * np.sqrt(1.0 - ap_prev) + np.sqrt(
+            ap_t * (1.0 - ap_t) * ap_prev
+        )
+        coef_e[i] = (ap_prev - ap_t) / denom
+        a_eff[i] = np.sqrt(ap_t)
+        s_eff[i] = np.sqrt(1.0 - ap_t)
+
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    per_step = (
+        jnp.asarray(seq, jnp.int32), f32(samp_c), f32(coef_e), f32(a_eff),
+        f32(s_eff), f32(w), jnp.asarray(use_cur), jnp.asarray(do_append),
+        jnp.asarray(do_store),
+    )
+    batch = latents.shape[0]
+    is_v = schedule.prediction_type == V_PREDICTION
+
+    def body(carry, step):
+        x, cur, h1, h2, h3 = carry
+        t, sc, ce, a_t, s_t, wi, uc, ap, st = step
+        t_batch = jnp.full((batch,), t, dtype=jnp.int32)
+        e = model_fn(x, t_batch).astype(jnp.float32)
+        et = wi[0] * e + wi[1] * h1 + wi[2] * h2 + wi[3] * h3
+        sample = jnp.where(uc, cur, x)
+        if is_v:
+            # v -> eps at the step's effective timestep, exactly where the
+            # reference scheduler converts (after the multistep combination).
+            et = a_t * et + s_t * sample
+        x_next = sc * sample - ce * et
+        cur_next = jnp.where(st, x, cur)
+        h1n = jnp.where(ap, e, h1)
+        h2n = jnp.where(ap, h1, h2)
+        h3n = jnp.where(ap, h2, h3)
+        return (x_next, cur_next, h1n, h2n, h3n), None
+
+    x0f = latents.astype(jnp.float32)
+    z = jnp.zeros_like(x0f)
+    (final, _, _, _, _), _ = jax.lax.scan(body, (x0f, z, z, z, z), per_step)
+    return final
+
+
 SAMPLERS = {
     "dpm++2m": dpm_solver_sample,
     "ddim": ddim_sample,
     "ddpm": ddpm_sample,
+    "pndm": pndm_sample,
     # Reference scheduler-class names (inference.py:88, train flag
     # --validation_scheduler) map onto the native samplers.
     "DPMSolverMultistepScheduler": dpm_solver_sample,
     "DDIMScheduler": ddim_sample,
     "DDPMScheduler": ddpm_sample,
+    "PNDMScheduler": pndm_sample,
 }
 
 
