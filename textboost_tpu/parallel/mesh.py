@@ -152,6 +152,37 @@ def param_sharding(params, mesh: Mesh, tensor_parallel: bool = True):
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
+def tp_rule_report(params, mesh: Mesh):
+    """Which `_TP_RULES` fire over a param tree at this mesh's tp degree.
+
+    Works on real arrays or `jax.ShapeDtypeStruct` trees (shapes suffice).
+    Returns (counts, indivisible): counts maps every rule pattern to the
+    number of leaves it sharded; indivisible maps leaf paths that matched a
+    rule but could not divide by tp (those fall back to replicated in
+    `param_sharding` — silently, which is exactly what a report is for).
+    VERDICT r4 #4: the sd15-dims multichip validation asserts every rule
+    fires and nothing is indivisible."""
+    counts = {pattern: 0 for pattern, _ in _TP_RULES}
+    indivisible = {}
+
+    def visit(path, leaf):
+        p = _path_str(path)
+        for pattern, spec in _TP_RULES:
+            if re.match(pattern, p):
+                ok = all(
+                    leaf.shape[axis] % mesh.shape["tp"] == 0
+                    for axis, name in enumerate(spec)
+                    if name == "tp"
+                )
+                if ok:
+                    counts[pattern] += 1
+                    return  # first divisible match wins, as in param_sharding
+                indivisible[p] = tuple(leaf.shape)
+
+    jax.tree_util.tree_map_with_path(visit, params)
+    return counts, indivisible
+
+
 def put_global(x, sharding: NamedSharding):
     """device_put that is collective-free on multi-process meshes.
 
