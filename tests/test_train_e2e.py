@@ -418,3 +418,31 @@ def test_restore_rejects_legacy_checkpoint_clearly(tmp_path):
     d.mkdir(parents=True)
     with pytest.raises(ValueError, match="meta.json"):
         restore_checkpoint(str(tmp_path / "checkpoint-10"), None, 100)
+
+
+def test_augment_device_end_to_end(instance_dir, tmp_path):
+    """--augment_device: pixels materialize on-device from the resident
+    bank; the host batch carries only ids + plan scalars.  Loss finite,
+    checkpoints written, and the sample's h2d payload is tiny."""
+    from textboost_tpu.train import Trainer
+
+    out = str(tmp_path / "run_devaug")
+    trainer = Trainer(_config(instance_dir, out, augment_device=True,
+                              max_train_steps=2, checkpointing_steps=2))
+    # The instance loader must be producing plan batches, not pixels.
+    host_batch = next(iter(trainer.train_loader))
+    assert "pixel_values" not in host_batch and "aug" in host_batch
+    assert sum(v.nbytes for v in host_batch["aug"].values()) < 1024
+    result = trainer.train()
+    assert result["steps"] == 2
+    assert np.isfinite(result["loss"])
+    assert os.path.isdir(os.path.join(out, "checkpoint-2", "state"))
+
+
+def test_augment_device_rejects_image_prior(instance_dir, tmp_path):
+    from textboost_tpu.train import TrainConfig
+
+    with pytest.raises(ValueError, match="augment_device"):
+        _config(instance_dir, str(tmp_path / "x"), augment_device=True,
+                with_image_prior=True, class_data_dir=str(tmp_path),
+                class_token="dog")

@@ -135,6 +135,7 @@ class TextBoostDataset:
         augment_pipe=None,
         augment_prior: bool = False,
         seed: int = 0,
+        device_augment: bool = False,
     ):
         self.size = size
         self.center_crop = center_crop
@@ -143,6 +144,7 @@ class TextBoostDataset:
         self.augment_pipe = augment_pipe
         self.augment_prior = augment_prior
         self.seed = seed
+        self.device_augment = device_augment
         self._cache = _DecodedImageCache()
 
         self.instance_images_path: List[Tuple[Path, str]] = []
@@ -168,6 +170,19 @@ class TextBoostDataset:
     def __len__(self):
         return self._length
 
+    def build_image_bank(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode + shorter-side-resize every instance image ONCE for the
+        --augment_device path (data/device_augment.py).  Caches the per-
+        image resized dims, which __getitem__ needs to sample crop offsets
+        with crop_with_offsets' exact draw semantics."""
+        from .device_augment import build_image_bank
+
+        bank, dims = build_image_bank(
+            [p for p, _ in self.instance_images_path], self.size
+        )
+        self._bank_dims = dims
+        return bank, dims
+
     def _prep_image(self, image: Image.Image, rng) -> Tuple[np.ndarray, int, int]:
         image = resize_shorter_side(image, self.size)
         image, top, left = crop_with_offsets(image, self.size, self.center_crop, rng)
@@ -178,10 +193,37 @@ class TextBoostDataset:
         sample: Dict = {}
 
         path, instance_token = self.instance_images_path[index % self.num_instance_images]
-        image = self._cache.get(path)
         prompt_idx = int(rng.integers(0, len(self.template)))
         prompt = self.template[prompt_idx].format(instance_token)
 
+        if self.device_augment:
+            # Plan-only path: the pixels live on the device (trainer's
+            # resident bank); the sample carries the plan's scalars + the
+            # crop offsets.  Same RNG draw order as the host path (prompt
+            # template -> augmentation plan -> crop offsets).
+            from .device_augment import encode_plan
+
+            img_idx = index % self.num_instance_images
+            steps = []
+            if self.augment_pipe is not None:
+                steps, prompt = self.augment_pipe.plan(
+                    (self.size, self.size), prompt, rng
+                )
+            if not hasattr(self, "_bank_dims"):
+                self.build_image_bank()
+            h, w = (int(v) for v in self._bank_dims[img_idx])
+            if self.center_crop:
+                top = max(0, int(round((h - self.size) / 2.0)))
+                left = max(0, int(round((w - self.size) / 2.0)))
+            else:
+                top = int(rng.integers(0, max(h - self.size, 0) + 1))
+                left = int(rng.integers(0, max(w - self.size, 0) + 1))
+            sample["aug"] = encode_plan(steps, self.size, img_idx, top, left)
+            sample["input_ids"] = tokenize_prompt(self.tokenizer, prompt)[0]
+            sample["prompt"] = prompt
+            return sample
+
+        image = self._cache.get(path)
         if self.augment_pipe is not None:
             image, prompt, mask = self.augment_pipe(image, prompt, rng)
             if mask is not None:
@@ -220,6 +262,15 @@ class TextBoostDataset:
     def collate(samples: Sequence[Dict], with_prior_preservation: bool = False) -> Dict:
         """Class examples are concatenated AFTER instance examples so prior
         preservation runs in one forward pass (dataset.py:430-436)."""
+        if "aug" in samples[0]:  # --augment_device: plans instead of pixels
+            from .device_augment import stack_aug_params
+
+            return {
+                "input_ids": np.stack(
+                    [s["input_ids"] for s in samples]
+                ).astype(np.int32),
+                "aug": stack_aug_params([s["aug"] for s in samples]),
+            }
         input_ids = [s["input_ids"] for s in samples]
         pixel_values = [s["image"] for s in samples]
         if with_prior_preservation:

@@ -86,6 +86,15 @@ class TrainConfig:
     augment_p: float = 0.8
     augment_prompt: int = 1
     augment_inversion: bool = False
+    # Execute augmentations ON the accelerator (data/device_augment.py):
+    # the instance images upload once, each step ships only token ids +
+    # ~60 bytes/sample of augmentation parameters instead of the full
+    # pixel batch (6.3 MB at bs8/512px), and the host stops burning its
+    # core on PIL resampling.  The host PIL path (default) remains the
+    # bit-exact reference-semantics path; the device path is
+    # equivalence-tested per op (tests/test_device_augment.py).
+    # Single-process, no --with_image_prior.
+    augment_device: bool = False
     # -- sampling / misc -------------------------------------------------
     disable_weighted_sample: bool = True
     null_prob: float = 0.1
@@ -126,6 +135,11 @@ class TrainConfig:
                 warnings.warn("You need not use --class_token without --with_image_prior.")
         if self.augment_inversion and not bool(self.augment_prompt):
             raise ValueError("You need to use --augment_prompt=1 with --augment_inversion.")
+        if self.augment_device and self.with_image_prior:
+            raise ValueError(
+                "--augment_device does not support --with_image_prior "
+                "(class prior images stay on the host pixel path)."
+            )
         return self
 
     def resolve_concepts(self) -> List[dict]:

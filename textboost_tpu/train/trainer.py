@@ -36,6 +36,7 @@ from ..ops.attention import set_default_attention_impl
 from ..ops.schedule import NoiseSchedule
 from ..parallel.mesh import (
     assemble_global_batch,
+    batch_sharding,
     make_mesh,
     put_global,
     replicated,
@@ -514,7 +515,26 @@ class Trainer:
             center_crop=cfg.center_crop,
             augment_pipe=augment_pipe,
             seed=cfg.seed,
+            device_augment=cfg.augment_device,
         )
+        self._image_bank = None
+        if cfg.augment_device:
+            # Pixels move to the device ONCE; per-step h2d becomes token ids
+            # + ~60 B/sample of plan scalars (data/device_augment.py).
+            if jax.process_count() != 1:
+                raise ValueError("--augment_device is single-process only")
+            from ..data.device_augment import make_augment_fn
+
+            bank, _ = dataset.build_image_bank()
+            self._image_bank = put_global(bank, replicated(self.mesh))
+            self._aug_fn = jax.jit(
+                make_augment_fn(cfg.resolution),
+                out_shardings=batch_sharding(self.mesh, 4),
+            )
+            logger.info(
+                "device augmentation: %d instance image(s) resident "
+                "(%.1f MB uploaded once)", bank.shape[0], bank.nbytes / 1e6,
+            )
         self.train_loader = PrefetchLoader(
             dataset,
             batch_size=self.local_batch_size,
@@ -696,6 +716,19 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _device_batch(self, batch: Dict, prior_batch: Dict) -> Dict:
+        if self._image_bank is not None:
+            # --augment_device: upload only ids + plan scalars; the jitted
+            # kernel materializes pixel_values device-side from the
+            # resident bank (already dp-sharded via out_shardings).
+            out = assemble_global_batch(
+                self.mesh,
+                {
+                    "input_ids": batch["input_ids"],
+                    "prior_input_ids": prior_batch["input_ids"],
+                },
+            )
+            out["pixel_values"] = self._aug_fn(self._image_bank, batch["aug"])
+            return out
         arrays = {
             "pixel_values": batch["pixel_values"],
             "input_ids": batch["input_ids"],
