@@ -105,8 +105,20 @@ def main():
         else:
             model = CLIPT5Model()  # clip-flant5-xxl geometry defaults
         template = model.shape_template()
+        if args.vqa_t5:
+            # The language backbone is the multi-GB part (clip-flant5-xxl:
+            # ~44 GB as fp32) — stream it tensor-by-tensor from a lazy
+            # source into .safetensors so peak RSS stays bounded by one
+            # tensor, not the checkpoint (VERDICT r4 #7).
+            from textboost_tpu.eval.scorer_weights import (
+                LazyStateDict,
+                stream_convert_t5,
+            )
+
+            out = os.path.join(vqa_dir, "t5.safetensors")
+            stream_convert_t5(LazyStateDict(args.vqa_t5), template["t5"], out)
+            print(f"wrote {out} (streamed)")
         for part, src, fn in (
-            ("t5", args.vqa_t5, convert_t5),
             ("vision", args.vqa_vision, convert_clip_vision),
             ("projector", args.vqa_projector, convert_mm_projector),
         ):

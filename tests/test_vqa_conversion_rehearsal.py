@@ -87,7 +87,10 @@ def test_vqa_mid_geometry_conversion_rehearsal(tmp_path):
         convert_scorers.main()
     finally:
         sys.argv = argv
-    for part in ("t5", "vision", "projector"):
+    # The T5 backbone streams into .safetensors (bounded-RSS xxl path);
+    # the small parts keep the msgpack format.
+    assert (out_dir / "vqa" / "t5.safetensors").is_file()
+    for part in ("vision", "projector"):
         assert (out_dir / "vqa" / f"{part}.msgpack").is_file()
 
     from textboost_tpu.eval.vqa import NativeVQAScorer
@@ -126,3 +129,120 @@ def test_vqa_mid_geometry_conversion_rehearsal(tmp_path):
     # conversion stage (stream per-tensor, no duplicate trees) keeps it
     # inside this host's 128 GB.
     print(f"\n[vqa-rehearsal] t5 ckpt {size_mb:.0f} MB, peak RSS {_rss_mb():.0f} MB")
+
+
+# ---------------------------------------------------------------------------
+# Bounded-RSS streaming proof (VERDICT r4 #7)
+# ---------------------------------------------------------------------------
+T5_LARGE = dict(
+    vocab_size=32128, d_model=1024, d_kv=64, d_ff=2816,
+    num_layers=24, num_decoder_layers=24, num_heads=16,
+)
+
+
+class _Recorder:
+    """Captures the torch key t5_leaf reads for one flax leaf and hands
+    back zeros of the flax shape — the returned array's shape then reveals
+    whether the converter transposes (torch shape = reversed flax)."""
+
+    def __init__(self, flax_shape):
+        self.flax_shape = tuple(flax_shape)
+        self.key = None
+
+    def __getitem__(self, key):
+        assert self.key is None, "one torch read per leaf expected"
+        self.key = key
+        return np.zeros(self.flax_shape, np.float32)
+
+
+def _torch_key_shapes(template):
+    """Enumerate the (torch key, torch shape) list a transformers T5
+    checkpoint must contain, derived mechanically from the converter."""
+    import flax
+
+    from textboost_tpu.eval.scorer_weights import t5_leaf
+
+    out = []
+    for k, v in flax.traverse_util.flatten_dict(template["params"]).items():
+        rec = _Recorder(np.shape(v))
+        res = t5_leaf(rec, k)
+        shape = (
+            tuple(np.shape(v))
+            if np.shape(res) == tuple(np.shape(v))
+            else tuple(reversed(np.shape(v)))
+        )
+        out.append((rec.key, shape))
+    return out
+
+
+def test_t5_streaming_conversion_bounded_rss(tmp_path):
+    """Synthesize a flan-t5-large-shaped checkpoint (~3.1 GB fp32) ON DISK
+    without ever materializing it, stream-convert it in a SUBPROCESS, and
+    assert the child's peak RSS stays far below the checkpoint size —
+    bounded by process baseline + one tensor, i.e. independent of model
+    scale (the clip-flant5-xxl guarantee)."""
+    import subprocess
+
+    from textboost_tpu.eval.t5 import T5Config
+    from textboost_tpu.eval.vqa import CLIPT5Model
+    from textboost_tpu.eval.scorer_weights import write_safetensors_stream
+
+    template = CLIPT5Model(T5Config(**T5_LARGE), None).shape_template()["t5"]
+    entries = _torch_key_shapes(template)
+    ckpt = tmp_path / "t5_large_synth.safetensors"
+    rng = np.random.default_rng(0)
+    write_safetensors_stream(
+        str(ckpt), entries,
+        lambda name: rng.standard_normal(
+            dict(entries)[name]).astype(np.float32) * 0.02,
+    )
+    size_gb = os.path.getsize(ckpt) / 1e9
+    assert size_gb > 2.5, f"synthetic checkpoint too small: {size_gb:.2f} GB"
+
+    geom = tmp_path / "geom.json"
+    geom.write_text(json.dumps({"t5": T5_LARGE}))
+    out_dir = tmp_path / "out"
+    driver = tmp_path / "child.py"
+    driver.write_text(
+        "import os, resource, sys\n"
+        "sys.path.insert(0, os.getcwd())  # repo root (cwd import, not PYTHONPATH)\n"
+        f"sys.argv = ['convert_scorers.py', '--vqa-t5', {str(ckpt)!r},\n"
+        f"            '--vqa-config', {str(geom)!r}, '--out', {str(out_dir)!r}]\n"
+        "import convert_scorers\n"
+        "convert_scorers.main()\n"
+        "rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0\n"
+        "print(f'CHILD_PEAK_RSS_MB {rss:.0f}')\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, str(driver)], cwd=repo, capture_output=True,
+        text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rss_mb = float(
+        [l for l in proc.stdout.splitlines() if "CHILD_PEAK_RSS_MB" in l][-1]
+        .split()[-1]
+    )
+    out_file = out_dir / "vqa" / "t5.safetensors"
+    assert out_file.is_file()
+    assert os.path.getsize(out_file) / 1e9 > 2.5
+    # Eager conversion held input+output trees: ~2x checkpoint (6+ GB).
+    # Streaming must stay under 45% of the checkpoint (measured: python +
+    # jax/torch imports + one ~130 MB tensor).
+    budget_mb = 0.45 * size_gb * 1000
+    assert rss_mb < budget_mb, (
+        f"peak RSS {rss_mb:.0f} MB >= bound {budget_mb:.0f} MB "
+        f"for a {size_gb:.2f} GB checkpoint — conversion is not streaming")
+    print(f"\n[t5-streaming] ckpt {size_gb:.2f} GB, child peak RSS {rss_mb:.0f} MB")
+
+    # Round-trip: the streamed file restores onto the template.
+    import flax as flaxlib
+
+    from textboost_tpu.eval.scorer_weights import load_safetensors_tree
+
+    tree = load_safetensors_tree(str(out_file))
+    flat = flaxlib.traverse_util.flatten_dict(tree["params"])
+    tflat = flaxlib.traverse_util.flatten_dict(template["params"])
+    assert set(flat) == set(tflat)
+    for k in tflat:
+        assert tuple(flat[k].shape) == tuple(np.shape(tflat[k])), k

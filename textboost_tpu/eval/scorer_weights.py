@@ -37,6 +37,182 @@ def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
     return {k: v.float().numpy() for k, v in sd.items()}
 
 
+class LazyStateDict:
+    """Dict-like view over a torch/safetensors checkpoint that materializes
+    ONE tensor per access (fp32) instead of the whole file.
+
+    The clip-flant5-xxl language backbone is ~44 GB as fp32 numpy; the old
+    eager `_load_state_dict` + whole-tree converter held ~2x that. With a
+    lazy input and the streaming safetensors writer below, conversion peak
+    RSS is bounded by the single largest tensor (VERDICT r4 #7;
+    tests/test_vqa_conversion_rehearsal.py records the measurement).
+    """
+
+    def __init__(self, path: str):
+        self._getters = {}  # key -> () -> np.ndarray (fp32)
+        if os.path.isdir(path):
+            files = sorted(
+                f for f in os.listdir(path) if f.endswith(".safetensors")
+            )
+            if not files:
+                raise FileNotFoundError(f"no .safetensors under {path}")
+            for f in files:
+                self._add_safetensors(os.path.join(path, f))
+        elif path.endswith(".safetensors"):
+            self._add_safetensors(path)
+        else:
+            self._add_torch(path)
+
+    # safetensors dtype tag -> numpy dtype (BF16 via ml_dtypes, which jax
+    # ships).
+    _ST_DTYPES = {
+        "F64": np.float64, "F32": np.float32, "F16": np.float16,
+        "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+        "U8": np.uint8, "BOOL": np.bool_,
+    }
+
+    def _add_safetensors(self, path: str):
+        # Hand-parsed, seek+read access — NOT safetensors' mmap-backed
+        # safe_open: touched mmap pages count toward ru_maxrss, so reading
+        # a 44 GB checkpoint through mmap reports (and transiently holds)
+        # the whole file in RSS even though each tensor is used once.
+        # Buffered reads keep peak RSS at one tensor.
+        import json
+        import struct
+
+        with open(path, "rb") as f:
+            (hlen,) = struct.unpack("<Q", f.read(8))
+            header = json.loads(f.read(hlen))
+        data_start = 8 + hlen
+
+        def np_dtype(tag):
+            if tag == "BF16":
+                import ml_dtypes
+
+                return np.dtype(ml_dtypes.bfloat16)
+            return np.dtype(self._ST_DTYPES[tag])
+
+        def getter(meta):
+            dt = np_dtype(meta["dtype"])
+            shape = tuple(meta["shape"])
+            begin, end = meta["data_offsets"]
+
+            def read():
+                with open(path, "rb") as f:
+                    f.seek(data_start + begin)
+                    buf = f.read(end - begin)
+                arr = np.frombuffer(buf, dtype=dt).reshape(shape)
+                return np.asarray(arr, np.float32)
+
+            return read
+
+        for k, meta in header.items():
+            if k == "__metadata__":
+                continue
+            self._getters[k] = getter(meta)
+
+    def _add_torch(self, path: str):
+        import torch
+
+        try:  # zipfile serialization: tensors stay mmap-backed until read
+            blob = torch.load(path, map_location="cpu", weights_only=True,
+                              mmap=True)
+        except Exception:  # legacy format: eager is the only option
+            blob = torch.load(path, map_location="cpu", weights_only=True)
+        sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+
+        def getter(t):
+            return lambda: t.float().numpy()
+
+        for k, v in sd.items():
+            self._getters[k] = getter(v)
+
+    def __getitem__(self, key):
+        return self._getters[key]()
+
+    def __contains__(self, key):
+        return key in self._getters
+
+    def __iter__(self):
+        return iter(self._getters)
+
+    def __len__(self):
+        return len(self._getters)
+
+    def keys(self):
+        return self._getters.keys()
+
+    def items(self):  # materializes lazily, one value per iteration step
+        for k in self._getters:
+            yield k, self[k]
+
+    def get(self, key, default=None):
+        return self[key] if key in self else default
+
+
+def write_safetensors_stream(path: str, leaves, leaf_fn) -> None:
+    """Write a .safetensors file ONE tensor at a time.
+
+    `leaves`: ordered [(name, shape)] — all fp32; `leaf_fn(name) ->
+    np.ndarray` produces each tensor on demand (converted from a lazy
+    source) and is freed as soon as its bytes hit the file.  The header is
+    computed up front from the shapes, so no temp file and no second pass;
+    peak RSS = one tensor.  Format per the published safetensors spec:
+    <u64 header_len><json header><raw little-endian buffers>."""
+    import json
+    import struct
+
+    header = {}
+    offset = 0
+    for name, shape in leaves:
+        n = int(np.prod(shape)) * 4
+        header[name] = {
+            "dtype": "F32",
+            "shape": [int(s) for s in shape],
+            "data_offsets": [offset, offset + n],
+        }
+        offset += n
+    blob = json.dumps(header).encode("utf-8")
+    blob += b" " * ((8 - len(blob) % 8) % 8)  # spec allows space padding
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(blob)))
+        f.write(blob)
+        for name, shape in leaves:
+            arr = np.ascontiguousarray(leaf_fn(name), dtype=np.float32)
+            if tuple(arr.shape) != tuple(shape):
+                raise ValueError(f"{name}: {arr.shape} != {tuple(shape)}")
+            if arr.dtype.byteorder not in ("<", "=", "|"):
+                arr = arr.astype("<f4")
+            f.write(arr.tobytes())
+            del arr
+
+
+def stream_convert_to_safetensors(template, leaf_fn, path: str) -> None:
+    """Convert a whole param tree leaf-by-leaf into `path`.
+
+    `template` is a flax tree of arrays/ShapeDtypeStructs; names are the
+    '/'-joined flat paths (load_safetensors_tree inverts them)."""
+    flat = flax.traverse_util.flatten_dict(
+        template["params"] if "params" in template else template
+    )
+    names = [("params/" + "/".join(k), tuple(np.shape(v))) for k, v in flat.items()]
+    by_name = {
+        "params/" + "/".join(k): k for k in flat
+    }
+    write_safetensors_stream(path, names, lambda name: leaf_fn(by_name[name]))
+
+
+def load_safetensors_tree(path: str, template=None):
+    """Inverse of stream_convert_to_safetensors: '/'-flat names -> tree."""
+    from safetensors.numpy import load_file
+
+    flat = load_file(path)
+    tree = flax.traverse_util.unflatten_dict(
+        {tuple(k.split("/")): v for k, v in flat.items()}
+    )
+    return tree
+
+
 def _t(arr):  # torch Linear -> flax kernel
     return np.asarray(arr, np.float32).T
 
@@ -145,57 +321,66 @@ def convert_mm_projector(sd: Dict[str, np.ndarray], flax_params) -> Dict:
     return {"params": flax.traverse_util.unflatten_dict(out)}
 
 
+def t5_leaf(sd, k) -> np.ndarray:
+    """One eval/t5.py param-tree leaf from a (possibly lazy) transformers
+    T5ForConditionalGeneration state dict — the per-tensor unit the eager
+    `convert_t5` and the streaming xxl path (`stream_convert_t5`) share."""
+    if k == ("shared", "embedding"):
+        return np.asarray(sd["shared.weight"], np.float32)
+    if k == ("lm_head", "kernel"):
+        return _t(sd["lm_head.weight"])
+    stack = k[0]  # encoder | decoder
+    if k[1] == "final_layer_norm":
+        return np.asarray(sd[f"{stack}.final_layer_norm.weight"], np.float32)
+    m = re.match(r"block_(\d+)$", k[1])
+    if not m:
+        raise KeyError(f"unmapped T5 leaf {k}")
+    i = m.group(1)
+    sub, leaf = k[2], k[-1]
+    # Sub-layer order differs between stacks: the decoder has
+    # a cross-attention at layer.1, pushing FF to layer.2.
+    ff_idx = 2 if stack == "decoder" else 1
+    base = f"{stack}.block.{i}"
+    if sub == "self_attn":
+        if leaf == "relative_attention_bias":
+            return np.asarray(
+                sd[f"{base}.layer.0.SelfAttention."
+                   "relative_attention_bias.weight"], np.float32)
+        return _t(sd[f"{base}.layer.0.SelfAttention.{k[3]}.weight"])
+    if sub == "self_attn_norm":
+        return np.asarray(sd[f"{base}.layer.0.layer_norm.weight"], np.float32)
+    if sub == "cross_attn":
+        return _t(sd[f"{base}.layer.1.EncDecAttention.{k[3]}.weight"])
+    if sub == "cross_attn_norm":
+        return np.asarray(sd[f"{base}.layer.1.layer_norm.weight"], np.float32)
+    if sub == "ff":
+        return _t(sd[f"{base}.layer.{ff_idx}.DenseReluDense.{k[3]}.weight"])
+    if sub == "ff_norm":
+        return np.asarray(
+            sd[f"{base}.layer.{ff_idx}.layer_norm.weight"], np.float32)
+    raise KeyError(f"unmapped T5 leaf {k}")
+
+
 def convert_t5(sd: Dict[str, np.ndarray], flax_params) -> Dict:
     """transformers T5ForConditionalGeneration state dict -> eval/t5.py
     param tree (the language backbone of clip-flant5, VQAScore)."""
     params = flax.traverse_util.flatten_dict(flax_params["params"])
     out = {}
     for k, v in params.items():
-        if k == ("shared", "embedding"):
-            arr = np.asarray(sd["shared.weight"], np.float32)
-        elif k == ("lm_head", "kernel"):
-            arr = _t(sd["lm_head.weight"])
-        else:
-            stack = k[0]  # encoder | decoder
-            if k[1] == "final_layer_norm":
-                arr = np.asarray(sd[f"{stack}.final_layer_norm.weight"], np.float32)
-            else:
-                m = re.match(r"block_(\d+)$", k[1])
-                if not m:
-                    raise KeyError(f"unmapped T5 leaf {k}")
-                i = m.group(1)
-                sub, leaf = k[2], k[-1]
-                # Sub-layer order differs between stacks: the decoder has
-                # a cross-attention at layer.1, pushing FF to layer.2.
-                ff_idx = 2 if stack == "decoder" else 1
-                base = f"{stack}.block.{i}"
-                if sub == "self_attn":
-                    if leaf == "relative_attention_bias":
-                        arr = np.asarray(
-                            sd[f"{base}.layer.0.SelfAttention."
-                               "relative_attention_bias.weight"], np.float32)
-                    else:
-                        arr = _t(sd[f"{base}.layer.0.SelfAttention.{k[3]}.weight"])
-                elif sub == "self_attn_norm":
-                    arr = np.asarray(sd[f"{base}.layer.0.layer_norm.weight"],
-                                     np.float32)
-                elif sub == "cross_attn":
-                    arr = _t(sd[f"{base}.layer.1.EncDecAttention.{k[3]}.weight"])
-                elif sub == "cross_attn_norm":
-                    arr = np.asarray(sd[f"{base}.layer.1.layer_norm.weight"],
-                                     np.float32)
-                elif sub == "ff":
-                    arr = _t(sd[f"{base}.layer.{ff_idx}.DenseReluDense."
-                                f"{k[3]}.weight"])
-                elif sub == "ff_norm":
-                    arr = np.asarray(
-                        sd[f"{base}.layer.{ff_idx}.layer_norm.weight"], np.float32)
-                else:
-                    raise KeyError(f"unmapped T5 leaf {k}")
+        arr = t5_leaf(sd, k)
         if tuple(np.shape(arr)) != tuple(np.shape(v)):
             raise ValueError(f"{k}: {np.shape(arr)} vs {np.shape(v)}")
         out[k] = arr
     return {"params": flax.traverse_util.unflatten_dict(out)}
+
+
+def stream_convert_t5(sd, flax_template, out_path: str) -> None:
+    """Lazy state dict -> <out_path> (.safetensors), one tensor resident at
+    a time: peak RSS is bounded by the largest single tensor regardless of
+    checkpoint size — the clip-flant5-xxl requirement (VERDICT r4 #7)."""
+    stream_convert_to_safetensors(
+        flax_template, lambda k: t5_leaf(sd, k), out_path
+    )
 
 
 def hf_dinov2_to_fb(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -308,6 +493,11 @@ def save_converted(params, path: str) -> None:
 
 
 def _maybe_msgpack(path: str, template):
+    st = path + ".safetensors"
+    if os.path.isfile(st):  # streaming-converter output
+        return flax.serialization.from_state_dict(
+            template, load_safetensors_tree(st)
+        )
     mp = path + ".msgpack"
     if os.path.isfile(mp):
         with open(mp, "rb") as f:

@@ -258,11 +258,21 @@ class NativeVQAScorer:
         template = self.model.shape_template()
         out = {}
         for part in ("vision", "projector", "t5"):
+            st = os.path.join(weights_dir, f"{part}.safetensors")
             path = os.path.join(weights_dir, f"{part}.msgpack")
+            if os.path.isfile(st):
+                # Streaming-converter output (bounded-RSS xxl path,
+                # scorer_weights.stream_convert_t5).
+                from .scorer_weights import load_safetensors_tree
+
+                out[part] = flax.serialization.from_state_dict(
+                    template[part], load_safetensors_tree(st)
+                )
+                continue
             if not os.path.isfile(path):
                 raise FileNotFoundError(
-                    f"{path} missing — convert clip-flant5 weights with "
-                    "convert_scorers.py --vqa first"
+                    f"{path} (or .safetensors) missing — convert clip-flant5 "
+                    "weights with convert_scorers.py --vqa first"
                 )
             with open(path, "rb") as f:
                 out[part] = flax.serialization.from_bytes(
