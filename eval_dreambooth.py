@@ -30,6 +30,13 @@ def _platform_override():
 
 import numpy as np
 
+# The reference's metric CSV header, in its exact column order
+# (/root/reference/eval_dreambooth.py:583-601: score_dict key order).
+REFERENCE_CSV_HEADER = [
+    "seed", "clip_score", "vqa_score", "clip_i", "clip_i_unseen",
+    "dino", "dino_unseen",
+]
+
 
 def parse_args():
     parser = argparse.ArgumentParser()
@@ -246,17 +253,18 @@ def compute_metrics(args, outdir):
             )
     tokenizer = load_tokenizer(None)
 
-    model_name = os.path.basename(args.path.rstrip("/"))
-    ckpt = args.checkpoint if args.checkpoint is not None else "final"
-    csv_path = f"metric_{ckpt}.csv"
-    write_header = not os.path.isfile(csv_path)
+    # CSV layout = the reference's, column for column
+    # (/root/reference/eval_dreambooth.py:577-628): file
+    # metric{_ckptN|_last}{_desc}.csv inside the model dir, header
+    # seed,clip_score,vqa_score,clip_i,clip_i_unseen,dino,dino_unseen,
+    # one row per seed, "%.3f" values, unselected metrics stay 0.000.
+    ckpt = f"_ckpt{args.checkpoint}" if args.checkpoint is not None else "_last"
+    desc = f"_{args.output_desc}" if args.output_desc is not None else ""
+    csv_path = os.path.join(args.path.rstrip("/"), f"metric{ckpt}{desc}.csv")
+    with open(csv_path, "w", newline="") as f:
+        csv.writer(f).writerow(REFERENCE_CSV_HEADER)
     with open(csv_path, "a", newline="") as f:
         writer = csv.writer(f)
-        if write_header:
-            writer.writerow(
-                ["model", "seed", "clip-t", "clip-i", "clip-i-unseen",
-                 "dino", "dino-unseen", "vqa"]
-            )
         for seed in args.seeds:
             seed_dir = os.path.join(outdir, f"seed{seed}")
             if not os.path.isdir(seed_dir):
@@ -292,14 +300,24 @@ def compute_metrics(args, outdir):
                         unseen, _ = _load_dir_images(val_dir)
                         if unseen:
                             dino_un.append(dino_scorer.dino_score(gen, np.stack(unseen)))
-            mean = lambda xs: round(float(np.mean(xs)), 4) if xs else ""
+            # Reference semantics: unselected/unavailable metrics keep their
+            # 0.0 initialization and print as "0.000".
+            mean = lambda xs: float(np.mean(xs)) if xs else 0.0
+            row = {
+                "clip_score": mean(clip_t_all),
+                "vqa_score": mean(vqa_all),
+                "clip_i": mean(clip_i_all),
+                "clip_i_unseen": mean(clip_i_un),
+                "dino": mean(dino_all),
+                "dino_unseen": mean(dino_un),
+            }
             writer.writerow(
-                [model_name, seed, mean(clip_t_all), mean(clip_i_all),
-                 mean(clip_i_un), mean(dino_all), mean(dino_un), mean(vqa_all)]
+                [str(seed)] + [f"{row[k]:.3f}" for k in REFERENCE_CSV_HEADER[1:]]
             )
-            print(f"seed {seed}: clip-t={mean(clip_t_all)} clip-i={mean(clip_i_all)} "
-                  f"dino={mean(dino_all)}")
+            print(f"seed {seed}: " + " ".join(
+                f"{k}={row[k]:.3f}" for k in REFERENCE_CSV_HEADER[1:]))
     print(f"Wrote {csv_path}")
+    return csv_path
 
 
 def main():

@@ -88,6 +88,15 @@ def parse_args():
                         "clears the 30-instance sweep in 4 waves of 8 "
                         "one-chip jobs instead of 30 sequential runs)")
     parser.add_argument("--dry-run", action="store_true")
+    # TPU extras (absent in the reference runner): place the sweep outside
+    # ./output and override the hardcoded total//5 validation cadence —
+    # used by tools/paper_protocol.py to rehearse the full protocol at toy
+    # scale without paying 5 validation rounds per instance.
+    parser.add_argument("--outdir", type=str, default=None,
+                        help="sweep output dir (default output/tb-<model>-<n>)")
+    parser.add_argument("--validation-steps", type=int, default=None,
+                        help="override validation cadence (default "
+                        "total_steps//5; 0 disables)")
     return parser.parse_args()
 
 
@@ -96,13 +105,19 @@ def build_cmd(args, name, cls, init_token, outdir):
     resolution = RESOLUTION.get(model, 512)
     init_token = f"{init_token} {cls}"
     identifier = "<0>"
+    val_steps = (
+        args.validation_steps
+        if getattr(args, "validation_steps", None) is not None
+        else args.total_steps // 5
+    )
     cmd = [
         f"--model_preset={model}",
         f"--instance_data_dir={os.path.join(args.data_dir, name)}",
-        f"--output_dir=./{outdir}/{name}",
+        # os.path.join keeps absolute --outdir paths absolute.
+        f"--output_dir={os.path.join(outdir, name)}",
         f"--class_token={cls}",
         f"--instance_token={identifier}",
-        f"--validation_steps={args.total_steps // 5}",
+        f"--validation_steps={val_steps}",
         f"--placeholder_token=<{name}>",
         f"--initializer_token={init_token}",
         "--validation_prompts",
@@ -147,9 +162,12 @@ def main(args):
         instances = INSTANCES
 
     num_str = "all" if args.num_samples is None else f"n{args.num_samples}"
-    outdir = f"output/tb-{args.model}-{num_str}"
-    if args.desc is not None:
-        outdir += f"-{args.desc}"
+    if getattr(args, "outdir", None):
+        outdir = args.outdir
+    else:
+        outdir = f"output/tb-{args.model}-{num_str}"
+        if args.desc is not None:
+            outdir += f"-{args.desc}"
     os.makedirs(outdir, exist_ok=True)
 
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)), "train_textboost.py")
