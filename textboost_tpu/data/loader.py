@@ -231,8 +231,10 @@ class PrefetchLoader:
                 self._thread.start()
         while True:
             # Bounded get so a consumer thread (e.g. DeviceBatchPrefetcher)
-            # unblocks and ends cleanly once stop() is called; in-flight
-            # batches still drain first.
+            # unblocks and ends cleanly once stop() is called.  Already-
+            # QUEUED batches drain first; a producer's in-flight batch that
+            # lands just after a post-stop Empty is dropped (best-effort —
+            # teardown only, ADVICE r4).
             try:
                 yield self._queue.get(timeout=0.5)
             except queue.Empty:
@@ -312,6 +314,12 @@ class DeviceBatchPrefetcher:
             try:
                 return self._queue.get(timeout=0.5)
             except queue.Empty:
+                # Re-check the stored error AFTER the blocking wait: the
+                # producer may have failed and exited during it, and the
+                # generic "thread died" would mask the root cause
+                # (ADVICE r4).
+                if self._error is not None:
+                    raise self._error
                 if self._thread is not None and not self._thread.is_alive():
                     raise RuntimeError("device prefetcher thread died")
 

@@ -708,6 +708,20 @@ class Trainer:
 
             train_iter = iter(self.train_loader)
             prior_iter = iter(self.prior_loader)
+            # Make the ring's memory footprint visible (ADVICE r4: the
+            # default depth silently scales with batch x resolution — ~200
+            # MB HBM at bs8/512px, ~2.3x that at 768px, plus comparable
+            # runtime-pinned host buffers).
+            per_batch = cfg.train_batch_size * (
+                (64 if cfg.augment_device else cfg.resolution * cfg.resolution * 3)
+                + 2 * 77 * 4
+            )
+            logger.info(
+                "device batch ring: depth %d x %.2f MB/batch ≈ %.0f MB HBM "
+                "(+ up to the same in pinned host buffers)",
+                cfg.device_prefetch_batches, per_batch / 1e6,
+                cfg.device_prefetch_batches * per_batch / 1e6,
+            )
             self._prefetcher = DeviceBatchPrefetcher(
                 lambda: (next(train_iter), next(prior_iter)),
                 lambda host: self._device_batch(*host),
@@ -849,7 +863,12 @@ class Trainer:
                     )
                 if self._prefetcher is not None:
                     # Ring pop: host production AND transfer dispatch ran
-                    # ahead; any wait here lands in h2d_ms (the ring drained).
+                    # ahead; any wait here lands in h2d_ms (the ring
+                    # drained).  NOTE (ADVICE r4): with the ring on — the
+                    # default — host_wait_ms is pinned at ~0 and h2d_ms
+                    # means "ring-drain wait", so decompositions are NOT
+                    # comparable to r3-era inline-path baselines
+                    # (documented where those baselines live, CLAUDE.md).
                     t2 = time.perf_counter()
                     next_batch = self._prefetcher.next()
                 else:
