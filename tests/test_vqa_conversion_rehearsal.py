@@ -204,14 +204,22 @@ def test_t5_streaming_conversion_bounded_rss(tmp_path):
     out_dir = tmp_path / "out"
     driver = tmp_path / "child.py"
     driver.write_text(
-        "import os, resource, sys\n"
+        "import os, sys\n"
         "sys.path.insert(0, os.getcwd())  # repo root (cwd import, not PYTHONPATH)\n"
         f"sys.argv = ['convert_scorers.py', '--vqa-t5', {str(ckpt)!r},\n"
         f"            '--vqa-config', {str(geom)!r}, '--out', {str(out_dir)!r}]\n"
         "import convert_scorers\n"
         "convert_scorers.main()\n"
-        "rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0\n"
-        "print(f'CHILD_PEAK_RSS_MB {rss:.0f}')\n"
+        "# VmHWM, NOT getrusage ru_maxrss: ru_maxrss is a lifetime high-water\n"
+        "# mark that SURVIVES execve, so a child forked from a large parent\n"
+        "# (the full pytest suite peaked >13 GB) inherits the parent's RSS as\n"
+        "# its own 'peak' and the bound fails spuriously.  VmHWM is reset\n"
+        "# when execve installs the fresh address space.\n"
+        "hwm_kb = 0.0\n"
+        "for line in open('/proc/self/status'):\n"
+        "    if line.startswith('VmHWM'):\n"
+        "        hwm_kb = float(line.split()[1])\n"
+        "print(f'CHILD_PEAK_RSS_MB {hwm_kb / 1024.0:.0f}')\n"
     )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     proc = subprocess.run(
