@@ -83,11 +83,18 @@ def main(args):
     lh = lw = (pipeline.spec.resolution) // 8
     # Seed-for-seed continuity with the per-seed pipeline path (and earlier
     # CLI versions): JAX PRNG output depends on shape, so draw the batch-1
-    # latent each seed would have drawn and strip the batch dim.
-    latents = np.stack([
-        np.asarray(jax.random.normal(jax.random.PRNGKey(s), (1, lh, lw, 4)))[0]
+    # latent each seed would have drawn and concatenate ON DEVICE.  The old
+    # np.asarray fetch here was the process's first d2h, which pays the
+    # relay's 1-4 min first-sync tax BEFORE the sampler compile even
+    # starts; device-side latents let the tax overlap the compile (the
+    # values are identical — threefry output is backend-deterministic and
+    # depends only on key and shape).
+    import jax.numpy as jnp
+
+    latents = jnp.concatenate([
+        jax.random.normal(jax.random.PRNGKey(s), (1, lh, lw, 4))
         for s in args.seeds
-    ])
+    ], axis=0)
     out = pipeline(
         [args.prompt] * len(args.seeds),
         num_inference_steps=args.steps,
