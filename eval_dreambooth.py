@@ -133,14 +133,19 @@ def generate(args):
 
         mesh = make_mesh(dp=n_dev, tp=1)
         print(f"Sharding generation batches over {n_dev} devices")
+    pipeline = None
     for instance in instances:
         model_path = os.path.join(args.path, instance)
         if not os.path.isdir(model_path):
             print(f"[skip] missing instance dir: {model_path}")
             continue
+        # reuse= rebinds this instance's params onto the previous
+        # pipeline when shapes match, so the whole 30-instance sweep
+        # pays ONE sampler compile (params are traced arguments of the
+        # jitted trajectory program).
         pipeline = load_textboost_pipeline(
             model_path, model, checkpoint=args.checkpoint, lora_rank=args.lora_rank,
-            null_embedding_path=args.null_emb_path, mesh=mesh,
+            null_embedding_path=args.null_emb_path, mesh=mesh, reuse=pipeline,
         )
         # Multi-vector identifier expansion (eval_dreambooth.py:329-337).
         files = os.listdir(

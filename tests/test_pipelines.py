@@ -128,6 +128,46 @@ def test_trained_model_loading(tmp_path):
     assert tid >= 49408  # loaded as an added token
 
 
+def test_load_pipeline_reuse_rebinds_params(tmp_path):
+    """`reuse=` returns the SAME pipeline object with the new instance's
+    params rebound (the eval sweep's one-compile path) and its output is
+    bit-identical to a fresh pipeline of the same model dir; a shape
+    mismatch (different vocab growth) falls back to a new pipeline."""
+    import torch
+
+    from textboost_tpu.pipelines.loading import load_textboost_pipeline
+
+    def model_dir(name, tokens):
+        d = tmp_path / name
+        d.mkdir()
+        g = torch.Generator().manual_seed(hash(name) % (2**31))
+        for t in tokens:
+            torch.save({t: torch.randn(64, generator=g)}, d / f"{t.strip('<>')}.bin")
+        return str(d)
+
+    a = model_dir("a", ["<dog>"])
+    b = model_dir("b", ["<cat>"])
+    kw = dict(lora_rank=0, dtype=jax.numpy.float32)
+
+    pipe_a = load_textboost_pipeline(a, "tiny", **kw)
+    img_a = pipe_a("a photo of a <dog>", num_inference_steps=2, seed=0)
+
+    pipe_b = load_textboost_pipeline(b, "tiny", reuse=pipe_a, **kw)
+    assert pipe_b is pipe_a  # rebound, not rebuilt
+    img_b = pipe_b("a photo of a <cat>", num_inference_steps=2, seed=0)
+    assert np.abs(img_a.astype(np.int32) - img_b.astype(np.int32)).max() > 0
+
+    fresh_b = load_textboost_pipeline(b, "tiny", **kw)
+    img_b_fresh = fresh_b("a photo of a <cat>", num_inference_steps=2, seed=0)
+    np.testing.assert_array_equal(img_b, img_b_fresh)
+
+    # Two-vector instance grows the vocab differently -> fresh pipeline.
+    c = model_dir("c", ["<x_0>", "<x_1>"])
+    pipe_c = load_textboost_pipeline(c, "tiny", reuse=pipe_b, **kw)
+    assert pipe_c is not pipe_b
+    assert pipe_c("a <x_0> <x_1>", num_inference_steps=2, seed=0).shape[0] == 1
+
+
 def test_inference_cli(tmp_path):
     """Drive the inference.py CLI surface end-to-end on a trained tiny model."""
     model_dir = tmp_path / "model"

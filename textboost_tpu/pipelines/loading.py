@@ -40,6 +40,15 @@ def _natural_sorted_bins(model_path: str):
     ]
 
 
+# One-entry cache for the expensive per-process artifacts that are
+# IDENTICAL across trained-model dirs of the same base model: the frozen
+# bundle (its init/conversion program) and the frozen-encoder null
+# embedding (a TE-forward program + d2h).  The 30-instance eval sweep
+# (eval_dreambooth.generate) loads a pipeline per instance; without this
+# every instance re-paid both programs on the tunneled relay.
+_BASE_CACHE: dict = {}
+
+
 def load_textboost_pipeline(
     model_path: str,
     base_model: str = "sd21base",
@@ -50,12 +59,30 @@ def load_textboost_pipeline(
     use_null_embedding: bool = True,
     null_embedding_path: Optional[str] = None,
     mesh=None,
+    reuse: Optional[TextToImagePipeline] = None,
 ) -> TextToImagePipeline:
+    """Load `model_path` into a pipeline.
+
+    `reuse`: a pipeline returned by a previous call with the same base
+    model / ranks / mesh.  When every array shape matches (same vocab
+    growth, same LoRA geometry), the new instance's params are rebound
+    onto the EXISTING pipeline object and it is returned — its jitted
+    sampler programs (shape-in/shape-out; params are traced arguments)
+    keep serving, so a 30-instance eval sweep pays ONE sampler compile
+    instead of one per instance (~65-75 s each on the tunneled relay —
+    comparable to the actual sampling time per instance).  On any
+    mismatch a fresh pipeline is built (correctness first)."""
     model_path = model_path.rstrip("/")
     if checkpoint is not None:
         model_path = os.path.join(model_path, f"checkpoint-{checkpoint}")
 
-    bundle = load_models(base_model, lora_rank=lora_rank, dtype=dtype)
+    cache_key = (base_model, lora_rank, str(dtype), bool(use_null_embedding))
+    if _BASE_CACHE.get("key") == cache_key:
+        bundle = _BASE_CACHE["bundle"]
+    else:
+        bundle = load_models(base_model, lora_rank=lora_rank, dtype=dtype)
+        _BASE_CACHE.clear()
+        _BASE_CACHE.update(key=cache_key, bundle=bundle)
     spec = bundle.spec
     tokenizer = load_tokenizer(base_model)
 
@@ -114,16 +141,50 @@ def load_textboost_pipeline(
             ),
         )
     elif use_null_embedding:
-        frozen = CLIPTextModel(spec.text_encoder, dtype=dtype)
-        ids = jnp.asarray(
-            np.asarray(
-                tokenizer("", padding="max_length", max_length=77,
-                          return_tensors="np")["input_ids"],
-                np.int32,
+        if "null_embedding" in _BASE_CACHE:
+            null_embedding = _BASE_CACHE["null_embedding"]
+        else:
+            frozen = CLIPTextModel(spec.text_encoder, dtype=dtype)
+            ids = jnp.asarray(
+                np.asarray(
+                    tokenizer("", padding="max_length", max_length=77,
+                              return_tensors="np")["input_ids"],
+                    np.int32,
+                )
             )
+            hidden, _ = jax.jit(frozen.apply)(bundle.te_params, ids)
+            null_embedding = np.asarray(hidden[0], np.float32)
+            _BASE_CACHE["null_embedding"] = null_embedding
+
+    if reuse is not None:
+        same = (
+            reuse.spec is spec
+            and reuse.dtype == dtype
+            and reuse.mesh is mesh
+            and reuse.fixed_special == bool(use_null_embedding)
+            and jax.tree.structure(reuse.te_params)
+            == jax.tree.structure(te_params)
+            and jax.tree.structure(reuse.unet_params)
+            == jax.tree.structure(unet_params)
+            and all(
+                np.shape(a) == np.shape(b)
+                for a, b in zip(
+                    jax.tree.leaves(reuse.te_params),
+                    jax.tree.leaves(te_params),
+                )
+            )
+            and (reuse.null_embedding is None) == (null_embedding is None)
         )
-        hidden, _ = jax.jit(frozen.apply)(bundle.te_params, ids)
-        null_embedding = np.asarray(hidden[0], np.float32)
+        if same:
+            reuse.tokenizer = tokenizer
+            reuse.te_params = te_params
+            reuse.unet_params = unet_params
+            reuse.vae_params = bundle.vae_params
+            if null_embedding is not None:
+                reuse.null_embedding = jnp.asarray(null_embedding)
+            # Params changed: re-place them on the mesh at next call.
+            reuse._mesh_placed = False
+            return reuse
 
     return TextToImagePipeline(
         spec,
