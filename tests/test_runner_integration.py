@@ -310,3 +310,44 @@ def test_sdrp_runner_end_to_end(sdrp_cwd):
         assert np.abs(v[0::2]).max() == 0.0, f"{k}: even rows moved under style mixing"
         moved = max(moved, float(np.abs(v[1::2]).max()))
     assert moved > 0.0, "odd lora_B rows never trained — mixing zeroed everything"
+
+
+def test_sequential_sweep_two_instances_shares_process_caches(sweep_cwd):
+    """Two instances through the in-process sequential runner: the second
+    Trainer re-serves the preset bundle from the process memo (no second
+    _init_all program) and both runs produce independent, correct outputs
+    (no cross-instance state leakage through the shared caches)."""
+    import run_textboost_db as runner
+    from textboost_tpu.models import pretrained
+
+    cat = sweep_cwd / "datasets" / "dreambooth_n1_train" / "cat"
+    cat.mkdir(parents=True)
+    rng = np.random.RandomState(7)
+    Image.fromarray(rng.randint(0, 255, (160, 160, 3), dtype=np.uint8)).save(
+        cat / "cat.jpg"
+    )
+
+    pretrained._PRESET_MEMO.clear()
+    runner.main(_db_args(instances=["dog", "cat"], total_steps=2,
+                         desc="seq2"))
+    assert pretrained._PRESET_MEMO.get("bundle") is not None
+
+    out = sweep_cwd / "output" / "tb-tiny-n1-seq2"
+    learned = {}
+    for name in ("dog", "cat"):
+        run_dir = out / name
+        bins = [f for f in os.listdir(run_dir) if f.endswith(".bin")]
+        assert bins, f"{name}: no token bins written"
+        import torch
+
+        vecs = []
+        for b in sorted(bins):
+            vecs.extend(
+                v.numpy().ravel()
+                for v in torch.load(run_dir / b, weights_only=True).values()
+            )
+        learned[name] = np.concatenate(vecs)
+    # Different instances (different images + initializers) learned
+    # different embeddings — the shared bundle/caches did not alias state.
+    assert learned["dog"].shape == learned["cat"].shape
+    assert np.abs(learned["dog"] - learned["cat"]).max() > 1e-6

@@ -139,3 +139,90 @@ def test_sampler_aot_gated_off_without_validation(instance_dir, tmp_path, monkey
     )
     assert trainer._sampler_aot is None
     assert trainer._validation_mesh() is None
+
+
+def test_aot_memo_shares_executable_across_instances(instance_dir, tmp_path):
+    """In-process sequential sweeps construct a Trainer per instance; the
+    process-level AOT memo must re-serve the SAME holder when only
+    per-instance fields (paths, token strings) differ, and split on any
+    field that changes the compiled program's shapes."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from textboost_tpu.models import get_spec
+    from textboost_tpu.parallel.mesh import make_mesh
+    from textboost_tpu.train import aot
+
+    # allow_cpu lifts the tpu-backend gate; the compile itself is
+    # backend-agnostic (the multichip dryrun compiles the step on CPU).
+    aot._AOT_MEMO.clear()
+
+    spec = get_spec("tiny")
+    import jax as _jax
+    mesh = make_mesh(dp=1, tp=1, devices=_jax.devices()[:1])
+    cfg_a = _config(instance_dir, str(tmp_path / "a"),
+                    validation_steps=0, validation_prompts=None)
+    kw = dict(vocab_size=49420, first_added_id=49408, mesh=mesh,
+              dtype=jnp.float32, allow_cpu=True)
+    h1 = aot.launch_step_aot(cfg_a, spec, **kw)
+    assert h1 is not None
+
+    # Only per-instance fields differ -> same key, same holder.
+    cfg_b = dataclasses.replace(
+        cfg_a,
+        instance_data_dir=instance_dir,
+        output_dir=str(tmp_path / "b"),
+        placeholder_token="<cat>",
+        instance_token="<cat>",
+        initializer_token="cat",
+    )
+    assert aot.launch_step_aot(cfg_b, spec, **kw) is h1
+
+    # Shape-bearing differences split the key (checked on the key itself
+    # so the test doesn't spawn extra whole-step compiles on the 1-core
+    # host): batch size changes the program, as does vocab growth.
+    def key(cfg, vocab):
+        return aot._memo_key("step", cfg, spec, mesh, jnp.float32,
+                             vocab, 49408)
+
+    cfg_c = dataclasses.replace(cfg_a, train_batch_size=4)
+    assert key(cfg_a, 49420) == key(cfg_b, 49420)
+    assert key(cfg_c, 49420) != key(cfg_a, 49420)
+    assert key(cfg_a, 49421) != key(cfg_a, 49420)
+
+    # The shared holder really carries a usable executable.
+    assert h1.result(timeout=1800) is not None
+    aot._AOT_MEMO.clear()
+
+
+def test_sampler_aot_memo(instance_dir, tmp_path, monkeypatch):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from textboost_tpu.models import get_spec
+    from textboost_tpu.parallel.mesh import make_mesh
+    from textboost_tpu.train import aot
+
+    monkeypatch.setenv("TEXTBOOST_SAMPLER_AOT_CPU", "1")
+    aot._AOT_MEMO.clear()
+    spec = get_spec("tiny")
+    import jax as _jax
+    mesh = make_mesh(dp=1, tp=1, devices=_jax.devices()[:1])
+    cfg_a = _config(instance_dir, str(tmp_path / "a"))
+    kw = dict(vocab_size=49420, mesh=mesh, dtype=jnp.float32, allow_cpu=True)
+    h1 = aot.launch_sampler_aot(cfg_a, spec, **kw)
+    assert h1 is not None
+    cfg_b = dataclasses.replace(cfg_a, output_dir=str(tmp_path / "b"),
+                                placeholder_token="<cat>",
+                                instance_token="<cat>")
+    assert aot.launch_sampler_aot(cfg_b, spec, **kw) is h1
+    # More validation prompts -> bigger sampler batch -> new program.
+    cfg_c = dataclasses.replace(cfg_a, validation_prompts=["a", "b", "c"])
+    assert aot._memo_key("sampler", cfg_c, spec, mesh, jnp.float32,
+                         49420, aot.validation_signature(cfg_c, spec)) != \
+        aot._memo_key("sampler", cfg_a, spec, mesh, jnp.float32,
+                      49420, aot.validation_signature(cfg_a, spec))
+    assert h1.result(timeout=1800) is not None
+    aot._AOT_MEMO.clear()

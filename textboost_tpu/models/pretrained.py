@@ -89,6 +89,17 @@ def save_snapshot(bundle: ModelBundle, out_dir: str):
         json.dump({"name": bundle.spec.name}, f)
 
 
+# One-entry memo for preset-resolved bundles: an in-process sequential
+# sweep (run_textboost_db.py --sequential) loads the IDENTICAL frozen base
+# per instance; re-serving the bundle skips the _init_all program round
+# trip each time.  Safe because bundle trees are never mutated (trainers
+# copy the trainable embedding through the setup program and never donate
+# frozen args) and deterministic because preset init is seeded.  Disk-
+# backed loads (snapshot / diffusers dirs) are NOT cached — their contents
+# can change between calls.
+_PRESET_MEMO: dict = {}
+
+
 def load_models(
     model_name_or_path: Optional[str] = None,
     *,
@@ -104,6 +115,14 @@ def load_models(
     Search order: native snapshot dir -> converted-diffusers dir
     (convert.load_diffusers_snapshot) -> known preset name -> error.
     """
+    memo_key = (
+        model_name_or_path, preset, lora_rank, str(dtype), str(vae_dtype),
+        seed, remat,
+    )
+    if not (model_name_or_path and os.path.isdir(model_name_or_path)):
+        cached = _PRESET_MEMO.get("key") == memo_key and _PRESET_MEMO.get("bundle")
+        if cached:
+            return cached
     spec = None
     snapshot_dir = None
     if model_name_or_path and os.path.isdir(model_name_or_path):
@@ -170,4 +189,8 @@ def load_models(
         unet_params = _load("unet", unet_params)
         vae_params = _load("vae", vae_params)
 
-    return ModelBundle(spec, text_encoder, unet, vae, te_params, unet_params, vae_params)
+    bundle = ModelBundle(spec, text_encoder, unet, vae, te_params, unet_params, vae_params)
+    if not snapshot_dir:
+        _PRESET_MEMO.clear()
+        _PRESET_MEMO.update(key=memo_key, bundle=bundle)
+    return bundle

@@ -72,11 +72,51 @@ def build_step_config(cfg, spec, first_added_id: int):
     )
 
 
+# Process-level executable memo: an in-process sequential sweep
+# (run_textboost_db.py --sequential / utils/sweep.run_job) constructs a
+# fresh Trainer per instance, but the compiled step/sampler are pure
+# shape-in/shape-out — every per-instance value (weights, ids, target
+# norm, null embedding) is a traced argument.  Re-serving the SAME
+# executable skips the 25-170 s relay compile (or ~90 s persistent-cache
+# deserialize) that each instance would otherwise re-pay.
+_AOT_MEMO: dict = {}
+
+# Config fields that CANNOT affect the compiled program: host-side paths,
+# token strings (the program sees only vocab_size / first_added_id, which
+# the memo key carries explicitly), trackers, and resume state (state
+# shapes are fixed by the rest of the config).  Everything else — batch
+# size, resolution, LR schedule, loss weights, precision, remat — stays in
+# the key, so an unlisted new config field conservatively splits the cache
+# rather than aliasing two different programs.
+_PER_INSTANCE_FIELDS = frozenset({
+    "instance_data_dir", "class_data_dir", "output_dir", "logging_dir",
+    "placeholder_token", "instance_token", "initializer_token",
+    "class_token", "concepts_list", "resume_from_checkpoint",
+    "human_prompts_path", "report_to", "null_embedding_path",
+})
+
+
+def _memo_key(kind, cfg, spec, mesh, dtype, *extra):
+    import dataclasses
+
+    cfg_d = dataclasses.asdict(cfg) if dataclasses.is_dataclass(cfg) else vars(cfg)
+    cfg_items = tuple(
+        (k, repr(v)) for k, v in sorted(cfg_d.items())
+        if k not in _PER_INSTANCE_FIELDS
+    )
+    mesh_key = (
+        tuple(mesh.axis_names),
+        tuple(mesh.devices.shape),
+        tuple(d.id for d in mesh.devices.flat),
+    )
+    return (kind, cfg_items, repr(spec), mesh_key, str(dtype), extra)
+
+
 def launch_step_aot(cfg, spec, *, vocab_size: int, first_added_id: int,
-                    mesh, dtype) -> Optional[StepAot]:
+                    mesh, dtype, allow_cpu: bool = False) -> Optional[StepAot]:
     """Start the background compile; returns None when the configuration
     is outside the supported envelope (the trainer then just uses its
-    plain jit path)."""
+    plain jit path).  allow_cpu (tests): compile on the CPU backend too."""
     if (
         cfg.unet_params_to_train != "none"
         or cfg.with_image_prior
@@ -85,11 +125,18 @@ def launch_step_aot(cfg, spec, *, vocab_size: int, first_added_id: int,
         # only equals one counted step without accumulation.
         or cfg.gradient_accumulation_steps > 1
         or jax.process_count() > 1
-        or jax.default_backend() != "tpu"
+        or (jax.default_backend() != "tpu" and not allow_cpu)
     ):
         return None
 
+    key = _memo_key("step", cfg, spec, mesh, dtype, vocab_size, first_added_id)
+    cached = _AOT_MEMO.get(key)
+    if cached is not None:
+        logger.info("step AOT: reusing this process's compiled executable")
+        return cached
+
     holder = StepAot()
+    _AOT_MEMO[key] = holder
 
     def _build():
         try:
@@ -98,6 +145,7 @@ def launch_step_aot(cfg, spec, *, vocab_size: int, first_added_id: int,
             )
         except Exception as e:  # noqa: BLE001 — fallback path must survive
             holder._error = repr(e)[:200]
+            _AOT_MEMO.pop(key, None)  # let a later instance retry
         finally:
             holder._done.set()
 
@@ -314,13 +362,21 @@ def launch_sampler_aot(cfg, spec, *, vocab_size: int, mesh, dtype,
     ):
         return None
 
+    key = _memo_key("sampler", cfg, spec, mesh, dtype, vocab_size, sig)
+    cached = _AOT_MEMO.get(key)
+    if cached is not None:
+        logger.info("sampler AOT: reusing this process's compiled executable")
+        return cached
+
     holder = StepAot(name="sampler AOT")
+    _AOT_MEMO[key] = holder
 
     def _build():
         try:
             holder._compiled = _compile_sampler(cfg, spec, vocab_size, mesh, dtype, sig)
         except Exception as e:  # noqa: BLE001 — fallback path must survive
             holder._error = repr(e)[:200]
+            _AOT_MEMO.pop(key, None)  # let a later instance retry
         finally:
             holder._done.set()
 
