@@ -351,3 +351,8 @@ def test_sequential_sweep_two_instances_shares_process_caches(sweep_cwd):
     # different embeddings — the shared bundle/caches did not alias state.
     assert learned["dog"].shape == learned["cat"].shape
     assert np.abs(learned["dog"] - learned["cat"]).max() > 1e-6
+    # Log isolation: the second instance must not duplicate its lines
+    # into the first run's training.log (stale FileHandler bug).
+    for name in ("dog", "cat"):
+        log = (out / name / "training.log").read_text()
+        assert log.count("Training took") == 1, name

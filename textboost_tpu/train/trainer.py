@@ -85,9 +85,20 @@ class Trainer:
     # ------------------------------------------------------------------
     def _setup_logging(self):
         os.makedirs(self.config.output_dir, exist_ok=True)
+        # In-process sequential sweeps construct one Trainer after another;
+        # a stale FileHandler from the previous instance would duplicate
+        # every later log line into the earlier run's training.log.  One
+        # trainer file handler at a time.
+        for h in list(logger.handlers):
+            if isinstance(h, logging.FileHandler) and getattr(
+                h, "_textboost_trainer", False
+            ):
+                logger.removeHandler(h)
+                h.close()
         handler = logging.FileHandler(
             os.path.join(self.config.output_dir, "training.log")
         )
+        handler._textboost_trainer = True
         handler.setFormatter(
             logging.Formatter("%(asctime)s %(levelname)s %(message)s")
         )
