@@ -211,6 +211,12 @@ def compute_metrics(args, outdir):
     from textboost_tpu.eval.dreambooth_bench import INSTANCES
     from textboost_tpu.eval import CLIPScorer, DINOScorer, TINY_CLIP, TINY_VIT
 
+    if not {"clip-t", "clip-i", "dino", "vqa"}.intersection(args.metric):
+        # e.g. `--metric none`: generation-only run — don't build scorers
+        # (and don't trip the no-weights guard) when nothing will score.
+        print("No metrics requested; generation-only run complete.")
+        return
+
     offline = args.scorer_weights is None
     if offline:
         # Random-init scorer numbers must not masquerade as parity metrics

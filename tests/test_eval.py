@@ -161,3 +161,17 @@ def test_clip_model_weight_conversion_synthetic():
     np.testing.assert_allclose(
         cflat[("visual_projection", "kernel")], sd["visual_projection.weight"].T
     )
+
+
+def test_metric_none_is_generation_only(tmp_path, capsys):
+    """`--metric none` must complete without scorer weights (generation-
+    only run): the no-weights guard only applies when something will
+    actually score."""
+    import argparse
+
+    import eval_dreambooth as ed
+
+    args = argparse.Namespace(metric=["none"], scorer_weights=None,
+                              allow_random_scorers=False, vqa_weights=None)
+    ed.compute_metrics(args, str(tmp_path))  # must not raise SystemExit
+    assert "generation-only" in capsys.readouterr().out
