@@ -169,8 +169,8 @@ def load_textboost_pipeline(
             and all(
                 np.shape(a) == np.shape(b)
                 for a, b in zip(
-                    jax.tree.leaves(reuse.te_params),
-                    jax.tree.leaves(te_params),
+                    jax.tree.leaves((reuse.te_params, reuse.unet_params)),
+                    jax.tree.leaves((te_params, unet_params)),
                 )
             )
             and (reuse.null_embedding is None) == (null_embedding is None)
