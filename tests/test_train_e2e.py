@@ -465,3 +465,26 @@ def test_augment_device_rejects_image_prior(instance_dir, tmp_path):
         _config(instance_dir, str(tmp_path / "x"), augment_device=True,
                 with_image_prior=True, class_data_dir=str(tmp_path),
                 class_token="dog")
+
+
+def test_deferred_norm_fetch_failure_propagates(instance_dir, tmp_path):
+    """A failed background norm fetch must surface at loop end (same
+    contract as the checkpoint/validation writer threads), not vanish."""
+    import threading
+
+    from textboost_tpu.train import Trainer
+
+    trainer = Trainer(
+        _config(instance_dir, str(tmp_path / "normfail"), max_train_steps=1,
+                validation_steps=0)
+    )
+    # On CPU the deferred fetch resolves instantly; re-arm it as failed.
+    t = threading.Thread(target=lambda: None)
+    t.start()
+    trainer._norms_thread = t
+    trainer._norms_error = ValueError("relay fell over")
+    with pytest.raises(RuntimeError, match="norm stats fetch failed"):
+        trainer._finish_norm_stats()
+    # And the happy path is a no-op once the thread is consumed.
+    assert trainer._norms_thread is None
+    trainer._finish_norm_stats()
