@@ -832,10 +832,99 @@ def bench_sweep2(args):
     }
 
 
+def bench_sweepseq(args):
+    """In-process sequential sweep amortization ON THE REAL CHIP: ONE
+    `run_textboost_db.py --sequential` process trains TWO instances; the
+    process-level executable/bundle memos (train/aot._AOT_MEMO,
+    models/pretrained._PRESET_MEMO) must collapse instance 2's setup to
+    seconds — the sweep-throughput claim behind the ~1 h projected
+    30-instance sd15 sweep.  Reported value = instance 2's
+    time-to-first-step; vs_baseline = instance1/instance2 ratio."""
+    import subprocess
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    workdir = tempfile.mkdtemp(prefix="textboost_sweepseq_")
+    data = os.path.join(workdir, "data")
+    rng = np.random.default_rng(0)
+    names = ("dog", "cat")
+    for name in names:
+        d = os.path.join(data, name)
+        os.makedirs(d)
+        Image.fromarray(
+            rng.integers(0, 255, (args.resolution, args.resolution, 3),
+                         dtype=np.uint8)
+        ).save(os.path.join(d, "img.jpg"), quality=95)
+    outdir = os.path.join(workdir, "out")
+    cmd = [
+        sys.executable,
+        os.path.join(_REPO_ROOT, "run_textboost_db.py"),
+        "--model", args.preset, "--instances", *names, "--sequential",
+        "--data-dir", data, "--outdir", outdir,
+        "--total-steps", str(args.steps),
+        "--batch-size", str(args.batch_size),
+        "--lora-rank", str(args.lora_rank),
+        "--validation-steps", "0",
+    ]
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+    t0 = time.time()
+    proc = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+    _CHILDREN.append(proc)
+    try:
+        out, err = proc.communicate(timeout=7200)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        out, err = proc.communicate()
+    finally:
+        _CHILDREN.remove(proc)
+    wall = time.time() - t0
+
+    def _ttfs(b):
+        setup = max((v for k, v in b.items()
+                     if k.startswith("setup_") and isinstance(v, float)),
+                    default=0.0)
+        return setup + b.get("step_aot_wait_s", 0.0) + b.get(
+            "first_step_dispatch_s", 0.0)
+
+    budgets = {n: _phase_budget(os.path.join(outdir, n)) for n in names}
+    # The runner trains in INSTANCES-list order (cat before dog).
+    first, second = "cat", "dog"
+    ttfs1, ttfs2 = _ttfs(budgets[first]), _ttfs(budgets[second])
+    ok = proc.returncode == 0 and ttfs2 > 0
+    return {
+        "metric": "sweepseq_instance2_time_to_first_step_s "
+        f"({args.preset}, {args.steps} steps x2 instances, one process)",
+        "value": round(ttfs2, 1) if ok else 0.0,
+        "unit": "s",
+        "vs_baseline": round(ttfs1 / ttfs2, 2) if ok and ttfs2 else 0.0,
+        "extra": {
+            "returncode": proc.returncode,
+            "sweep_wall_s": round(wall, 1),
+            "instance1": {"name": first, "phase_budget": budgets[first]},
+            "instance2": {"name": second, "phase_budget": budgets[second]},
+            # None when either run logged no fingerprint (e.g. the CPU
+            # smoke path, where the step AOT is gated off).
+            "fingerprints_match": (
+                budgets[first]["step_hlo_fingerprint"]
+                == budgets[second]["step_hlo_fingerprint"]
+                if "step_hlo_fingerprint" in budgets[first]
+                and "step_hlo_fingerprint" in budgets[second]
+                else None
+            ),
+            "tail": (out or err)[-300:],
+        },
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode",
-                        choices=["train", "sample", "e2e", "parts", "sweep2"],
+                        choices=["train", "sample", "e2e", "parts", "sweep2",
+                                 "sweepseq"],
                         default="train")
     parser.add_argument("--steps", type=int, default=250,
                         help="e2e mode: train steps")
@@ -913,8 +1002,8 @@ def main():
     #    artifact came back empty).  Tunable via TEXTBOOST_BENCH_WATCHDOG_S
     #    (0 disables).  e2e/sweep2 are builder-run modes with longer
     #    child-process budgets of their own.
-    default_wd = {"e2e": "3900", "sweep2": "7800", "parts": "2400"}.get(
-        args.mode, "1200")
+    default_wd = {"e2e": "3900", "sweep2": "7800", "sweepseq": "7800",
+                  "parts": "2400"}.get(args.mode, "1200")
     watchdog_s = int(os.environ.get("TEXTBOOST_BENCH_WATCHDOG_S", default_wd))
     if watchdog_s > 0:
         import threading
@@ -949,7 +1038,8 @@ def main():
     try:
         result = {"train": bench_train, "sample": bench_sample,
                   "e2e": bench_e2e, "parts": bench_parts,
-                  "sweep2": bench_sweep2}[args.mode](args)
+                  "sweep2": bench_sweep2,
+                  "sweepseq": bench_sweepseq}[args.mode](args)
         if probe:
             result.setdefault("extra", {})["probe"] = probe
     except Exception as e:  # noqa: BLE001 — bench must always emit one line
