@@ -150,3 +150,35 @@ def test_sidecar_protocol(tmp_path):
     finally:
         os.environ.pop("TEXTBOOST_BENCH_RESULTS_DIR", None)
         sys.path.remove(REPO)
+
+
+def test_sweepseq_smoke_cpu(tmp_path):
+    """bench --mode sweepseq end-to-end at tiny scale on CPU: the
+    in-process sequential sweep runs, and instance 2's time-to-first-step
+    beats instance 1's (the process-level memo amortization the mode
+    exists to measure)."""
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("TEXTBOOST_BENCH")}
+    env.update({
+        "TEXTBOOST_BENCH_RESULTS_DIR": str(tmp_path / "bench_results"),
+        "TEXTBOOST_BENCH_PROBE_S": "0",
+        "TEXTBOOST_PLATFORM": "cpu",
+    })
+    proc = subprocess.run(
+        [sys.executable, BENCH, "--mode", "sweepseq", "--preset", "tiny",
+         "--steps", "2", "--batch-size", "2", "--resolution", "160"],
+        cwd=REPO, env=env, timeout=1200, capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rec = _json_lines(proc.stdout)[-1]
+    assert rec["value"] > 0
+    extra = rec["extra"]
+    assert extra["returncode"] == 0
+    ttfs1 = (
+        max(v for k, v in extra["instance1"]["phase_budget"].items()
+            if k.startswith("setup_"))
+        + extra["instance1"]["phase_budget"].get("first_step_dispatch_s", 0)
+    )
+    assert rec["value"] < ttfs1  # amortization: instance 2 starts faster
+    # No step AOT on CPU -> honest null, not a vacuous None==None True.
+    assert extra["fingerprints_match"] is None
