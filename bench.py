@@ -601,6 +601,17 @@ def _phase_budget(out_dir: str):
     return budget
 
 
+def _time_to_first_step(budget: dict) -> float:
+    """Setup + step-AOT wait + first dispatch from a _phase_budget dict —
+    the 'time until the train loop is actually stepping' scalar the
+    sweep2/sweepseq amortization modes report."""
+    setup = max((v for k, v in budget.items()
+                 if k.startswith("setup_") and isinstance(v, float)),
+                default=0.0)
+    return setup + budget.get("step_aot_wait_s", 0.0) + budget.get(
+        "first_step_dispatch_s", 0.0)
+
+
 def _run_flagship_cli(args, *, instance_token, initializer_token,
                       cache_dir=None):
     """One train_textboost.py subprocess on a synthetic instance image,
@@ -783,11 +794,7 @@ def bench_sweep2(args):
     ok = len(runs) == 2 and all(r["ok"] for r in runs)
 
     def _ttfs(run):
-        b = run["phase_budget"]
-        setup = max((v for k, v in b.items() if k.startswith("setup_")),
-                    default=0.0)
-        return setup + b.get("step_aot_wait_s", 0.0) + b.get(
-            "first_step_dispatch_s", 0.0)
+        return _time_to_first_step(run["phase_budget"])
 
     if not ok:
         return {
@@ -883,17 +890,22 @@ def bench_sweepseq(args):
         _CHILDREN.remove(proc)
     wall = time.time() - t0
 
-    def _ttfs(b):
-        setup = max((v for k, v in b.items()
-                     if k.startswith("setup_") and isinstance(v, float)),
-                    default=0.0)
-        return setup + b.get("step_aot_wait_s", 0.0) + b.get(
-            "first_step_dispatch_s", 0.0)
-
     budgets = {n: _phase_budget(os.path.join(outdir, n)) for n in names}
-    # The runner trains in INSTANCES-list order (cat before dog).
-    first, second = "cat", "dog"
-    ttfs1, ttfs2 = _ttfs(budgets[first]), _ttfs(budgets[second])
+
+    def _log_start(name):
+        # Training order derived from the artifacts, not assumed from the
+        # runner's INSTANCES-list order: first timestamped line of each
+        # run's training.log.
+        try:
+            for line in open(os.path.join(outdir, name, "training.log")):
+                return line[:23]
+        except OSError:
+            pass
+        return "9999"
+
+    first, second = sorted(names, key=_log_start)
+    ttfs1 = _time_to_first_step(budgets[first])
+    ttfs2 = _time_to_first_step(budgets[second])
     ok = proc.returncode == 0 and ttfs2 > 0
     return {
         "metric": "sweepseq_instance2_time_to_first_step_s "

@@ -467,9 +467,11 @@ def test_augment_device_rejects_image_prior(instance_dir, tmp_path):
                 class_token="dog")
 
 
-def test_deferred_norm_fetch_failure_propagates(instance_dir, tmp_path):
-    """A failed background norm fetch must surface at loop end (same
-    contract as the checkpoint/validation writer threads), not vanish."""
+def test_deferred_norm_fetch_failure_warns_not_fatal(instance_dir, tmp_path):
+    """A failed background norm fetch must be SURFACED (warning) but must
+    not fail the run — the scalars are metrics-only, and raising at loop
+    end would discard a completed run's final export over a log line."""
+    import logging as _logging
     import threading
 
     from textboost_tpu.train import Trainer
@@ -481,10 +483,23 @@ def test_deferred_norm_fetch_failure_propagates(instance_dir, tmp_path):
     # On CPU the deferred fetch resolves instantly; re-arm it as failed.
     t = threading.Thread(target=lambda: None)
     t.start()
+    t.join()
     trainer._norms_thread = t
     trainer._norms_error = ValueError("relay fell over")
-    with pytest.raises(RuntimeError, match="norm stats fetch failed"):
-        trainer._finish_norm_stats()
+
+    class _Catch(_logging.Handler):
+        records = []
+
+        def emit(self, record):
+            self.records.append(record.getMessage())
+
+    h = _Catch()
+    _logging.getLogger("textboost_tpu").addHandler(h)
+    try:
+        trainer._finish_norm_stats()  # must not raise
+    finally:
+        _logging.getLogger("textboost_tpu").removeHandler(h)
+    assert any("norm stats fetch failed" in m for m in h.records)
     # And the happy path is a no-op once the thread is consumed.
     assert trainer._norms_thread is None
     trainer._finish_norm_stats()

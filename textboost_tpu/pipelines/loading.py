@@ -76,13 +76,18 @@ def load_textboost_pipeline(
     if checkpoint is not None:
         model_path = os.path.join(model_path, f"checkpoint-{checkpoint}")
 
+    # Disk-backed base models (snapshot/diffusers dirs) are NOT cached:
+    # their contents can change between calls (same staleness rule as
+    # models/pretrained._PRESET_MEMO).
+    cacheable = not (base_model and os.path.isdir(base_model))
     cache_key = (base_model, lora_rank, str(dtype), bool(use_null_embedding))
-    if _BASE_CACHE.get("key") == cache_key:
+    if cacheable and _BASE_CACHE.get("key") == cache_key:
         bundle = _BASE_CACHE["bundle"]
     else:
         bundle = load_models(base_model, lora_rank=lora_rank, dtype=dtype)
         _BASE_CACHE.clear()
-        _BASE_CACHE.update(key=cache_key, bundle=bundle)
+        if cacheable:
+            _BASE_CACHE.update(key=cache_key, bundle=bundle)
     spec = bundle.spec
     tokenizer = load_tokenizer(base_model)
 

@@ -78,8 +78,20 @@ def build_step_config(cfg, spec, first_added_id: int):
 # shape-in/shape-out — every per-instance value (weights, ids, target
 # norm, null embedding) is a traced argument.  Re-serving the SAME
 # executable skips the 25-170 s relay compile (or ~90 s persistent-cache
-# deserialize) that each instance would otherwise re-pay.
+# deserialize) that each instance would otherwise re-pay.  Bounded:
+# oldest entries are evicted past _AOT_MEMO_MAX so an in-process
+# ABLATION sweep (each lr/bs/weight variant splits the key) doesn't pin
+# every whole-step executable it ever compiled until process exit.
 _AOT_MEMO: dict = {}
+_AOT_MEMO_MAX = 6
+
+
+def _memo_put(key, holder) -> None:
+    while len(_AOT_MEMO) >= _AOT_MEMO_MAX:
+        evicted = next(iter(_AOT_MEMO))
+        _AOT_MEMO.pop(evicted)  # the holder itself stays valid for users
+    _AOT_MEMO[key] = holder
+
 
 # Config fields that CANNOT affect the compiled program: host-side paths,
 # token strings (the program sees only vocab_size / first_added_id, which
@@ -136,7 +148,7 @@ def launch_step_aot(cfg, spec, *, vocab_size: int, first_added_id: int,
         return cached
 
     holder = StepAot()
-    _AOT_MEMO[key] = holder
+    _memo_put(key, holder)
 
     def _build():
         try:
@@ -369,7 +381,7 @@ def launch_sampler_aot(cfg, spec, *, vocab_size: int, mesh, dtype,
         return cached
 
     holder = StepAot(name="sampler AOT")
-    _AOT_MEMO[key] = holder
+    _memo_put(key, holder)
 
     def _build():
         try:

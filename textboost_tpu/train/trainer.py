@@ -137,16 +137,29 @@ class Trainer:
             self._norms_error = e
 
     def _finish_norm_stats(self):
-        """Join the deferred norm fetch: re-raise its failure, write the
-        step-0 record the loop start skipped."""
-        if self._norms_thread is None:
+        """Join the deferred norm fetch and write the step-0 record the
+        loop start skipped.  The scalars are metrics-only (the step reads
+        the target norm on device), so a failed or hung fetch WARNS and
+        continues — raising here would discard a completed run's final
+        export over a log line."""
+        thread = self._norms_thread
+        if thread is None:
             return
-        self._norms_thread.join(timeout=600.0)
+        thread.join(timeout=600.0)
+        if thread.is_alive():
+            logger.warning(
+                "embedding-norm stats fetch still pending after 600 s "
+                "(relay hung?); skipping the norm log/record"
+            )
+            return  # keep the thread handle so a later call can retry
         self._norms_thread = None
         if self._norms_error is not None:
-            raise RuntimeError(
-                "embedding-norm stats fetch failed"
-            ) from self._norms_error
+            logger.warning(
+                "embedding-norm stats fetch failed (%r); norm log/record "
+                "skipped — training results are unaffected",
+                self._norms_error,
+            )
+            return
         if getattr(self, "_norm_record_owed", False) and self.mean_norm is not None:
             self._norm_record_owed = False
             self._log_metrics(0, {"max_norm": 0.0, "mean_norm": self.mean_norm})
@@ -1002,8 +1015,8 @@ class Trainer:
         print(f"Training took {wall:.1f} seconds.")
         # Async checkpoint/validation writers must land before the run is
         # declared done (their wall time overlapped the loop above); the
-        # deferred norm fetch joins here too (failure re-raised, owed
-        # step-0 record written).
+        # deferred norm fetch joins here too (failure logged, owed step-0
+        # record written — never fatal: see _finish_norm_stats).
         self._finish_norm_stats()
         self.join_checkpoint_writers()
         self.join_validation_writers()
